@@ -1,0 +1,106 @@
+"""Video reconstruction CLI — the framework's end-to-end entry point.
+
+TPU-native analogue of the reference inference scripts
+(cvvae_inference_video.py:10-52, cvvae_sd3_inference_video.py:11-53):
+read an mp4, truncate to 4k+1 frames, normalise to [-1,1], encode ->
+sample posterior -> decode, write the reconstruction.
+
+Usage:
+    python -m cvvae_tpu.cli --video_path in.mp4 --save_path out.mp4 \
+        [--vae_path /path/to/hf_checkpoint_dir [--subfolder vae3d]] \
+        [--variant v1|sd3] [--height 576 --width 1024] [--dtype bf16] \
+        [--mode sample|mode] [--metrics]
+
+Without --vae_path the model runs with random weights (pipeline
+smoke-test mode).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--vae_path", type=str, default=None,
+                   help="HF checkpoint dir (config.json + safetensors)")
+    p.add_argument("--subfolder", type=str, default=None,
+                   help="checkpoint subfolder, e.g. vae3d / vae3d_sd3")
+    p.add_argument("--variant", type=str, default="v1",
+                   help="v1 | v1-1 | sd3 (used when --vae_path is absent)")
+    p.add_argument("--video_path", type=str, required=True)
+    p.add_argument("--save_path", type=str, required=True)
+    p.add_argument("--height", type=int, default=576)
+    p.add_argument("--width", type=int, default=1024)
+    p.add_argument("--max_frames", type=int, default=None)
+    p.add_argument("--dtype", type=str, default="bf16",
+                   choices=["bf16", "fp32"])
+    p.add_argument("--mode", type=str, default="sample",
+                   choices=["sample", "mode"],
+                   help="posterior sampling (reference default) or mean")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--metrics", action="store_true",
+                   help="print PSNR + timing JSON to stdout")
+    return p
+
+
+def main(argv=None) -> dict:
+    from cvvae_tpu.data import video_io
+    from cvvae_tpu.models.video_vae import VideoVAE, config_for_variant
+
+    args = build_argparser().parse_args(argv)
+    dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
+
+    if args.vae_path:
+        vae = VideoVAE.from_pretrained(args.vae_path, subfolder=args.subfolder,
+                                       dtype=dtype)
+    else:
+        vae = VideoVAE.from_config(config_for_variant(args.variant),
+                                   seed=args.seed, dtype=dtype)
+
+    frames, fps = video_io.read_video(
+        args.video_path, height=args.height, width=args.width,
+        max_frames=args.max_frames)
+    n = video_io.truncate_to_4k1(len(frames))
+    frames = frames[:n]
+    x_np = video_io.normalize(frames)
+    x = jnp.asarray(x_np, dtype=dtype)[None]  # (1, T, H, W, C)
+
+    t0 = time.perf_counter()
+    posterior = vae.encode(x)
+    if args.mode == "sample":
+        z = posterior.sample(jax.random.PRNGKey(args.seed))
+    else:
+        z = posterior.mode()
+    z.block_until_ready()
+    t_encode = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    x_rec = vae.decode(z)
+    x_rec.block_until_ready()
+    t_decode = time.perf_counter() - t0
+
+    rec_np = np.asarray(x_rec[0].astype(jnp.float32))
+    video_io.write_video(args.save_path, video_io.denormalize(rec_np), fps)
+
+    mse = float(np.mean((rec_np - x_np) ** 2))
+    psnr = float(10.0 * np.log10(4.0 / mse)) if mse > 0 else float("inf")
+    result = {
+        "frames": int(n), "height": args.height, "width": args.width,
+        "latent_shape": list(z.shape), "encode_s": round(t_encode, 3),
+        "decode_s": round(t_decode, 3), "psnr_db": round(psnr, 3),
+        "save_path": args.save_path,
+    }
+    if args.metrics:
+        print(json.dumps(result))
+    return result
+
+
+if __name__ == "__main__":
+    main()

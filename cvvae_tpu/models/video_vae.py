@@ -1,0 +1,319 @@
+"""VideoVAE — the user-facing model API (encode / decode / tiling).
+
+Re-designs the reference's CVVAEModel / CVVAESD3Model wrappers
+[models/modeling_vae.py:20-668] as a thin stateful handle around pure,
+jitted JAX functions.  Capabilities preserved:
+
+* temporal-chunked encode/decode: encode windows of
+  ``en_de_n_frames_a_time``+1 frames with a single-frame causal overlap,
+  dropping the first latent of later chunks
+  [models/modeling_vae.py:193-210]; decode windows of
+  ``en_de/time_n_compress``+1 latents [:279-296].
+* spatial tiling with linear seam blending: 576-px tiles, 22.22% overlap
+  [:144-191, :230-277, :321-341].
+* 4D/5D reshape contracts for single-image latent compatibility
+  [:216-220, :305-311].
+* DiagonalGaussian posterior and the SD2.1 scaling factor 0.18215.
+
+Native layout is channels-last (B, T, H, W, C); ``channels_first=True``
+on encode/decode accepts/returns the reference's (B, C, T, H, W).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import math
+import os
+from functools import partial
+from typing import Any, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+
+from cvvae_tpu.models import vae_sd3, vae_v1
+from cvvae_tpu.ops.distributions import DiagonalGaussian
+
+
+@dataclasses.dataclass(frozen=True)
+class VideoVAEConfig:
+    family: str = "v1"                     # "v1" | "sd3"
+    net: Any = None                        # VAE1Config | VAESD3Config
+    scaling_factor: float = 0.18215
+    en_de_n_frames_a_time: Optional[int] = 16
+    time_n_compress: int = 4
+    spatial_n_compress: int = 8
+    tile_spatial_size: Optional[int] = 576
+    tile_overlap_ratio: float = 0.2222
+    num_video_frames: Optional[int] = None
+
+    def __post_init__(self):
+        if self.net is None:
+            net = (vae_v1.VAE1Config() if self.family == "v1"
+                   else vae_sd3.VAESD3Config())
+            object.__setattr__(self, "net", net)
+        if self.en_de_n_frames_a_time is not None:
+            assert self.en_de_n_frames_a_time % self.time_n_compress == 0
+
+    @property
+    def latent_channels(self) -> int:
+        return (self.net.z_channels if self.family == "v1"
+                else self.net.latent_channels)
+
+    @property
+    def decode_n_frames_a_time(self) -> Optional[int]:
+        if self.en_de_n_frames_a_time is None:
+            return None
+        return self.en_de_n_frames_a_time // self.time_n_compress
+
+    @property
+    def pixel_tile_size(self) -> Optional[int]:
+        return self.tile_spatial_size
+
+    @property
+    def latent_tile_size(self) -> Optional[int]:
+        if self.tile_spatial_size is None:
+            return None
+        return self.tile_spatial_size // self.spatial_n_compress
+
+    @property
+    def num_latent_frames(self) -> Optional[int]:
+        if self.num_video_frames is None:
+            return None
+        return 1 + (self.num_video_frames - 1) // self.time_n_compress
+
+
+def _blend_h(a: jax.Array, b: jax.Array, overlap: int) -> jax.Array:
+    """Linear horizontal seam blend [models/modeling_vae.py:321-330]."""
+    w = (jnp.arange(overlap, dtype=jnp.float32) / overlap).reshape(1, 1, 1, -1, 1)
+    w = w.astype(b.dtype)
+    blended = (1 - w) * a[:, :, :, -overlap:, :] + w * b[:, :, :, :overlap, :]
+    return jnp.concatenate([blended, b[:, :, :, overlap:, :]], axis=3)
+
+
+def _blend_v(a: jax.Array, b: jax.Array, overlap: int) -> jax.Array:
+    """Linear vertical seam blend [models/modeling_vae.py:332-341]."""
+    w = (jnp.arange(overlap, dtype=jnp.float32) / overlap).reshape(1, 1, -1, 1, 1)
+    w = w.astype(b.dtype)
+    blended = (1 - w) * a[:, :, -overlap:, :, :] + w * b[:, :, :overlap, :, :]
+    return jnp.concatenate([blended, b[:, :, overlap:, :, :]], axis=2)
+
+
+class VideoVAE:
+    """Stateful handle: config + params; all compute is pure & jitted.
+
+    params = {"encoder": ..., "decoder": ...}
+    """
+
+    def __init__(self, config: VideoVAEConfig, params: dict):
+        self.config = config
+        self.params = params
+        net = config.net
+        if config.family == "v1":
+            self._enc = jax.jit(lambda p, x: vae_v1.apply_encoder(p, x, net))
+            self._dec = jax.jit(lambda p, z: vae_v1.apply_decoder(p, z, net))
+        elif config.family == "sd3":
+            self._enc = jax.jit(lambda p, x: vae_sd3.apply_encoder(p, x, net))
+            self._dec = jax.jit(lambda p, z: vae_sd3.apply_decoder(p, z, net))
+        else:
+            raise ValueError(f"unknown family {config.family}")
+
+    # ------------------------------------------------------------------
+    # construction
+    # ------------------------------------------------------------------
+
+    @classmethod
+    def from_config(cls, config: VideoVAEConfig, seed: int = 0,
+                    dtype=jnp.float32) -> "VideoVAE":
+        key = jax.random.PRNGKey(seed)
+        k_e, k_d = jax.random.split(key)
+        mod = vae_v1 if config.family == "v1" else vae_sd3
+        params = {"encoder": mod.init_encoder(k_e, config.net, dtype),
+                  "decoder": mod.init_decoder(k_d, config.net, dtype)}
+        return cls(config, params)
+
+    @classmethod
+    def from_pretrained(cls, path: str, subfolder: Optional[str] = None,
+                        dtype=jnp.float32) -> "VideoVAE":
+        """Load a reference HF checkpoint directory (config.json +
+        *.safetensors) and convert it to a JAX VideoVAE."""
+        from cvvae_tpu.utils.convert import load_reference_checkpoint
+        if subfolder:
+            path = os.path.join(path, subfolder)
+        return load_reference_checkpoint(cls, path, dtype=dtype)
+
+    def astype(self, dtype) -> "VideoVAE":
+        params = jax.tree.map(lambda a: a.astype(dtype), self.params)
+        return VideoVAE(self.config, params)
+
+    # ------------------------------------------------------------------
+    # raw per-window nets
+    # ------------------------------------------------------------------
+
+    def _encoder(self, x: jax.Array) -> jax.Array:
+        return self._enc(self.params["encoder"], x)
+
+    def _decoder(self, z: jax.Array) -> jax.Array:
+        return self._dec(self.params["decoder"], z)
+
+    # ------------------------------------------------------------------
+    # spatial tiling  [models/modeling_vae.py:144-191, 230-277]
+    # ------------------------------------------------------------------
+
+    def _spatial_tiled(self, x: jax.Array, net, tile: int, out_tile: int,
+                       in_is_pixel: bool) -> jax.Array:
+        cfg = self.config
+        if tile is None or (x.shape[2] <= tile and x.shape[3] <= tile):
+            return net(x)
+        in_stride = round(tile * (1 - cfg.tile_overlap_ratio))
+        out_overlap = round(out_tile * cfg.tile_overlap_ratio)
+        out_stride = out_tile - out_overlap
+
+        rows = []
+        for i in range(0, x.shape[2], in_stride):
+            cols = []
+            for j in range(0, x.shape[3], in_stride):
+                cols.append(net(x[:, :, i:i + tile, j:j + tile, :]))
+                if j + tile >= x.shape[3]:
+                    break
+            rows.append(cols)
+            if i + tile >= x.shape[2]:
+                break
+
+        # The reference's blend_h/blend_v mutate tiles in place
+        # [models/modeling_vae.py:321-341], so each tile is blended
+        # against already-blended neighbours — replicate that cascade by
+        # updating the tile grid as we sweep.
+        for i in range(len(rows)):
+            for j in range(len(rows[i])):
+                t = rows[i][j]
+                if i > 0:
+                    t = _blend_v(rows[i - 1][j], t, out_overlap)
+                if j > 0:
+                    t = _blend_h(rows[i][j - 1], t, out_overlap)
+                rows[i][j] = t
+        result_rows = rows
+
+        out_rows = []
+        for i, cols in enumerate(result_rows):
+            for j, t in enumerate(cols):
+                if i < len(result_rows) - 1:
+                    t = t[:, :, :out_stride, :, :]
+                if j < len(cols) - 1:
+                    t = t[:, :, :, :out_stride, :]
+                cols[j] = t
+            out_rows.append(jnp.concatenate(cols, axis=3))
+        return jnp.concatenate(out_rows, axis=2)
+
+    def spatial_tiled_encode(self, x: jax.Array) -> jax.Array:
+        cfg = self.config
+        return self._spatial_tiled(x, self._encoder, cfg.pixel_tile_size,
+                                   cfg.latent_tile_size, in_is_pixel=True)
+
+    def spatial_tiled_decode(self, z: jax.Array) -> jax.Array:
+        cfg = self.config
+        return self._spatial_tiled(z, self._decoder, cfg.latent_tile_size,
+                                   cfg.pixel_tile_size, in_is_pixel=False)
+
+    # ------------------------------------------------------------------
+    # temporal chunking  [models/modeling_vae.py:193-210, 279-296]
+    # ------------------------------------------------------------------
+
+    def tiled_encode(self, x: jax.Array) -> jax.Array:
+        stride = self.config.en_de_n_frames_a_time
+        if stride is None:
+            return self.spatial_tiled_encode(x)
+        assert x.ndim == 5
+        n_rounds = max(1, math.ceil((x.shape[1] - 1) / stride))
+        outs = []
+        for n in range(n_rounds):
+            z_i = self.spatial_tiled_encode(
+                x[:, n * stride:(n + 1) * stride + 1])
+            outs.append(z_i if n == 0 else z_i[:, 1:])
+        return jnp.concatenate(outs, axis=1)
+
+    def tiled_decode(self, z: jax.Array) -> jax.Array:
+        stride = self.config.decode_n_frames_a_time
+        if stride is None:
+            return self.spatial_tiled_decode(z)
+        assert z.ndim == 5
+        n_rounds = max(1, math.ceil((z.shape[1] - 1) / stride))
+        outs = []
+        for n in range(n_rounds):
+            x_i = self.spatial_tiled_decode(
+                z[:, n * stride:(n + 1) * stride + 1])
+            outs.append(x_i if n == 0 else x_i[:, 1:])
+        return jnp.concatenate(outs, axis=1)
+
+    # ------------------------------------------------------------------
+    # public API
+    # ------------------------------------------------------------------
+
+    @staticmethod
+    def _to_tlast(x: jax.Array) -> jax.Array:
+        return jnp.transpose(x, (0, 2, 3, 4, 1))  # BCTHW -> BTHWC
+
+    @staticmethod
+    def _to_cfirst(x: jax.Array) -> jax.Array:
+        return jnp.transpose(x, (0, 4, 1, 2, 3))  # BTHWC -> BCTHW
+
+    def encode(self, x: jax.Array, *, channels_first: bool = False
+               ) -> DiagonalGaussian:
+        """Encode video -> posterior.  x: (B,T,H,W,C) or BCTHW."""
+        cfg = self.config
+        if channels_first:
+            if x.ndim == 4:  # (B,C,H,W) or ((b t),C,H,W)
+                if cfg.num_video_frames is not None:
+                    t = cfg.num_video_frames
+                    b = x.shape[0] // t
+                    x = x.reshape(b, t, *x.shape[1:]).transpose(0, 2, 1, 3, 4)
+                else:
+                    x = x[:, :, None]
+            x = self._to_tlast(x)
+        elif x.ndim == 4:
+            x = x[:, None]  # (B,H,W,C) -> T=1
+        moments = self.tiled_encode(x)
+        return DiagonalGaussian.from_moments(moments)
+
+    def decode(self, z: jax.Array, *, num_frames: Optional[int] = None,
+               channels_first: bool = False) -> jax.Array:
+        """Decode latents -> video, same layout convention as input."""
+        cfg = self.config
+        if channels_first:
+            if z.ndim == 4:
+                t = num_frames or cfg.num_latent_frames
+                if t is not None:
+                    b = z.shape[0] // t
+                    z = z.reshape(b, t, *z.shape[1:]).transpose(0, 2, 1, 3, 4)
+                else:
+                    z = z[:, :, None]
+            z = self._to_tlast(z)
+        elif z.ndim == 4:
+            z = z[:, None]
+        x = self.tiled_decode(z)
+        if channels_first:
+            x = self._to_cfirst(x)
+        return x
+
+    def reconstruct(self, x: jax.Array, *, key: Optional[jax.Array] = None,
+                    sample_posterior: bool = False,
+                    channels_first: bool = False) -> jax.Array:
+        posterior = self.encode(x, channels_first=channels_first)
+        if sample_posterior:
+            assert key is not None
+            z = posterior.sample(key)
+        else:
+            z = posterior.mode()
+        return self.decode(z, channels_first=channels_first)
+
+
+# ---------------------------------------------------------------------------
+# variant registry (the three shipped checkpoints, README.md:28-31)
+# ---------------------------------------------------------------------------
+
+def config_for_variant(variant: str) -> VideoVAEConfig:
+    if variant in ("v1", "v1-1", "vae3d", "vae3d_v1-1"):
+        return VideoVAEConfig(family="v1")
+    if variant in ("sd3", "vae3d_sd3"):
+        return VideoVAEConfig(family="sd3", scaling_factor=1.5305)
+    raise ValueError(f"unknown variant {variant!r}")

@@ -1,0 +1,109 @@
+"""Attention primitives for the VAE mid-blocks.
+
+All attention in CV-VAE is *single-head* self-attention over either the
+spatial tokens of one frame (encoder + SD3 mid-block,
+[models/vae_models.py:473-537], [models/vae_blocks3d_sd3.py:119-147]) or
+the temporal tokens of one pixel (v1 decoder,
+[models/vae_models.py:540-629]).  The q/k/v projections are 1x1 convs or
+Linears — identical math: a dense over the channel axis.
+
+Numerics: logits and softmax in float32 (the reference upcasts softmax,
+and SDPA/xformers accumulate fp32), output cast back to input dtype.
+
+For long spatial sequences (a 576px tile at /8 is 72*72=5184 tokens of
+width 512) a naive implementation materialises an (S, S) score matrix per
+frame; ``query_chunk_size`` bounds that via a lax.scan over query blocks
+(numerically exact — full-row softmax per block).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def dense(x: jax.Array, params: dict) -> jax.Array:
+    """y = x @ W + b with W stored (in, out); works on (..., C) input."""
+    w = params["kernel"].astype(x.dtype)
+    y = jnp.einsum("...i,io->...o", x, w)
+    b = params.get("bias")
+    if b is not None:
+        y = y + b.astype(y.dtype)
+    return y
+
+
+def dense_init(key: jax.Array, c_in: int, c_out: int, use_bias: bool = True,
+               dtype=jnp.float32) -> dict:
+    """torch nn.Linear default init."""
+    bound = 1.0 / math.sqrt(c_in)
+    k_w, k_b = jax.random.split(key)
+    p = {"kernel": jax.random.uniform(k_w, (c_in, c_out), dtype, -bound, bound)}
+    if use_bias:
+        p["bias"] = jax.random.uniform(k_b, (c_out,), dtype, -bound, bound)
+    return p
+
+
+def _attention_block(q_blk: jax.Array, k: jax.Array, v: jax.Array,
+                     scale: float) -> jax.Array:
+    """Exact attention for one query block.  q_blk:(B,Sq,C) k,v:(B,S,C)."""
+    logits = jnp.einsum("bqc,bkc->bqk", q_blk, k,
+                        preferred_element_type=jnp.float32) * scale
+    weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    return jnp.einsum("bqk,bkc->bqc", weights.astype(v.dtype), v,
+                      preferred_element_type=jnp.float32).astype(v.dtype)
+
+
+def single_head_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
+                          scale: Optional[float] = None,
+                          query_chunk_size: int = 2048) -> jax.Array:
+    """Single-head scaled dot-product attention on (B, S, C) tensors."""
+    s = q.shape[1]
+    if scale is None:
+        scale = 1.0 / math.sqrt(q.shape[-1])
+    if s <= query_chunk_size or s % query_chunk_size:
+        return _attention_block(q, k, v, scale)
+    n_blocks = s // query_chunk_size
+    q_blocks = q.reshape(q.shape[0], n_blocks, query_chunk_size, q.shape[-1])
+    q_blocks = jnp.moveaxis(q_blocks, 1, 0)
+
+    def body(carry, q_blk):
+        return carry, _attention_block(q_blk, k, v, scale)
+
+    _, out = jax.lax.scan(body, None, q_blocks)
+    out = jnp.moveaxis(out, 0, 1)
+    return out.reshape(q.shape)
+
+
+def spatial_self_attention(x: jax.Array, wq: dict, wk: dict, wv: dict, *,
+                           query_chunk_size: int = 2048) -> jax.Array:
+    """Per-frame single-head spatial attention.
+
+    x: (B, T, H, W, C) -> same shape.  Projections are channel-denses
+    (== 1x1 convs).  Caller applies pre-norm and output projection.
+    """
+    b, t, h, w, c = x.shape
+    tokens = x.reshape(b * t, h * w, c)
+    q = dense(tokens, wq)
+    k = dense(tokens, wk)
+    v = dense(tokens, wv)
+    out = single_head_attention(q, k, v, query_chunk_size=query_chunk_size)
+    return out.reshape(b, t, h, w, c)
+
+
+def temporal_self_attention(x: jax.Array, wq: dict, wk: dict, wv: dict) -> jax.Array:
+    """Per-pixel single-head temporal attention ((b h w) t c grouping).
+
+    Ref: models/vae_models.py:573-587,626-628.
+    """
+    b, t, h, w, c = x.shape
+    tokens = x.transpose(0, 2, 3, 1, 4).reshape(b * h * w, t, c)
+    q = dense(tokens, wq)
+    k = dense(tokens, wk)
+    v = dense(tokens, wv)
+    out = single_head_attention(q, k, v)
+    out = out.reshape(b, h, w, t, c).transpose(0, 3, 1, 2, 4)
+    return out

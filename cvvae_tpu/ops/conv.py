@@ -1,0 +1,169 @@
+"""3D convolution primitives with the exact padding semantics of CV-VAE.
+
+Everything here operates on channels-last video tensors of shape
+``(B, T, H, W, C)`` — the natural TPU layout (last dim feeds the MXU/VPU
+lanes).  Kernels are stored as ``(kT, kH, kW, C_in, C_out)`` ("DHWIO").
+
+The reference (PyTorch, channels-first) has four distinct conv padding
+behaviours that all matter for bit-parity:
+
+* v1 causal conv    — zero-pad space by p, edge("replicate")-pad time by
+  (2p, 0) into the past only.              [models/vae_models.py:298-328]
+* v1 plain conv     — ``nn.Conv3d(padding=p)``: zero-pad all axes.
+* SD3 causal conv   — edge-pad space by (p, p) AND time by (2p, 0), all
+  replicate mode.                     [models/vae_blocks3d_sd3.py:81-104]
+* SD3 plain conv    — ``Conv3d(padding=p, padding_mode="replicate")``:
+  symmetric edge-pad all axes.         [models/vae_blocks3d_sd3.py:16-46]
+
+Plus the "2D conv on 5D input" trick (``Conv2dWithExtraDim``,
+[models/vae_models.py:331-340]) which we express as a 3D conv with a
+``(1, kH, kW)`` kernel — identical math, no reshapes, and XLA fuses it
+like any other conv.
+
+Zero padding is passed straight into ``lax.conv_general_dilated`` (free);
+edge padding is materialised with ``jnp.pad(mode="edge")`` first.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+Pad = Tuple[int, int]
+
+_DIMENSION_NUMBERS = ("NDHWC", "DHWIO", "NDHWC")
+
+
+@dataclasses.dataclass(frozen=True)
+class Conv3DSpec:
+    """Static description of a conv layer: kernel/stride/padding policy."""
+
+    kernel: Tuple[int, int, int]
+    stride: Tuple[int, int, int] = (1, 1, 1)
+    #: ((t_lo, t_hi), (h_lo, h_hi), (w_lo, w_hi))
+    pads: Tuple[Pad, Pad, Pad] = ((0, 0), (0, 0), (0, 0))
+    #: per-axis mode: "zero" | "edge"
+    modes: Tuple[str, str, str] = ("zero", "zero", "zero")
+    use_bias: bool = True
+
+    # ---- constructors mirroring the reference layer variants ----
+
+    @staticmethod
+    def v1_causal(k: int = 3, p: int = 1, stride=(1, 1, 1)) -> "Conv3DSpec":
+        """CausalConv3d: zeros space / replicate past time.
+
+        Ref: models/vae_models.py:298-328."""
+        return Conv3DSpec((k, k, k), tuple(stride), ((2 * p, 0), (p, p), (p, p)),
+                          ("edge", "zero", "zero"))
+
+    @staticmethod
+    def v1_plain(k: int = 3, p: int = 1, stride=(1, 1, 1)) -> "Conv3DSpec":
+        """nn.Conv3d(padding=p), zero padding everywhere."""
+        return Conv3DSpec((k, k, k), tuple(stride), ((p, p), (p, p), (p, p)),
+                          ("zero", "zero", "zero"))
+
+    @staticmethod
+    def sd3_causal(k: int = 3, p: int = 1, stride=(1, 1, 1)) -> "Conv3DSpec":
+        """SD3 CausalConv3d: replicate space and past time.
+
+        Ref: models/vae_blocks3d_sd3.py:81-104."""
+        return Conv3DSpec((k, k, k), tuple(stride), ((2 * p, 0), (p, p), (p, p)),
+                          ("edge", "edge", "edge"))
+
+    @staticmethod
+    def sd3_plain(k: int = 3, p: int = 1, stride=(1, 1, 1)) -> "Conv3DSpec":
+        """Conv3d(padding=p, padding_mode="replicate"): edge pad all axes.
+
+        Ref: models/vae_blocks3d_sd3.py:16-46."""
+        return Conv3DSpec((k, k, k), tuple(stride), ((p, p), (p, p), (p, p)),
+                          ("edge", "edge", "edge"))
+
+    @staticmethod
+    def spatial2d(k: int = 3, p: int = 1, stride_hw=(1, 1)) -> "Conv3DSpec":
+        """Conv2dWithExtraDim: per-frame 2D conv == (1,k,k) 3D conv.
+
+        Ref: models/vae_models.py:331-340."""
+        return Conv3DSpec((1, k, k), (1,) + tuple(stride_hw),
+                          ((0, 0), (p, p), (p, p)), ("zero", "zero", "zero"))
+
+    @staticmethod
+    def pointwise() -> "Conv3DSpec":
+        """1x1x1 conv (nin_shortcut / attention qkv-as-conv)."""
+        return Conv3DSpec((1, 1, 1))
+
+    @staticmethod
+    def v1_downsample(down_time: bool) -> "Conv3DSpec":
+        """v1 Downsample3D: asym zero pad (0,1) space, replicate (2,0) time,
+        stride 2 (or (1,2,2)).  Ref: models/vae_models.py:238-263."""
+        return Conv3DSpec((3, 3, 3), (2 if down_time else 1, 2, 2),
+                          ((2, 0), (0, 1), (0, 1)), ("edge", "zero", "zero"))
+
+    # ---- derived ----
+
+    def fan_in(self, c_in: int) -> int:
+        kt, kh, kw = self.kernel
+        return c_in * kt * kh * kw
+
+
+def conv_init(key: jax.Array, spec: Conv3DSpec, c_in: int, c_out: int,
+              dtype=jnp.float32) -> dict:
+    """Initialise kernel+bias matching torch's Conv default
+    (kaiming_uniform(a=sqrt(5)) == U(+-1/sqrt(fan_in)) for weight and bias)."""
+    kt, kh, kw = spec.kernel
+    fan_in = spec.fan_in(c_in)
+    bound = 1.0 / math.sqrt(fan_in)
+    k_w, k_b = jax.random.split(key)
+    params = {
+        "kernel": jax.random.uniform(
+            k_w, (kt, kh, kw, c_in, c_out), dtype, -bound, bound)
+    }
+    if spec.use_bias:
+        params["bias"] = jax.random.uniform(k_b, (c_out,), dtype, -bound, bound)
+    return params
+
+
+def _edge_pad(x: jax.Array, pads: Sequence[Pad], modes: Sequence[str]) -> jax.Array:
+    """Apply only the edge-mode components of the pad spec (T,H,W axes)."""
+    widths = [(0, 0)] * x.ndim
+    any_edge = False
+    for axis, (pad, mode) in enumerate(zip(pads, modes)):
+        if mode == "edge" and (pad[0] or pad[1]):
+            widths[1 + axis] = tuple(pad)
+            any_edge = True
+    if not any_edge:
+        return x
+    return jnp.pad(x, widths, mode="edge")
+
+
+def conv3d(x: jax.Array, params: dict, spec: Conv3DSpec, *,
+           compute_dtype: Optional[jnp.dtype] = None,
+           precision=None) -> jax.Array:
+    """Run the conv described by ``spec`` on ``x`` (B,T,H,W,C)."""
+    kernel = params["kernel"]
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        kernel = kernel.astype(compute_dtype)
+    elif kernel.dtype != x.dtype:
+        kernel = kernel.astype(x.dtype)
+
+    x = _edge_pad(x, spec.pads, spec.modes)
+    lax_padding = [
+        tuple(pad) if mode == "zero" else (0, 0)
+        for pad, mode in zip(spec.pads, spec.modes)
+    ]
+    y = lax.conv_general_dilated(
+        x, kernel,
+        window_strides=spec.stride,
+        padding=lax_padding,
+        dimension_numbers=_DIMENSION_NUMBERS,
+        precision=precision,
+    )
+    bias = params.get("bias")
+    if bias is not None:
+        y = y + bias.astype(y.dtype)
+    return y
