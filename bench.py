@@ -1,0 +1,49 @@
+"""Benchmark: 720p encode+decode throughput per chip (CV-VAE v1, bf16).
+
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+value  = 720p (1280x720) frames/sec for a full encode+decode roundtrip
+         through the production path (temporal chunking + spatial tiling,
+         17-frame clip), steady state on one chip.
+vs_baseline = realtime factor vs 720p30 (the north-star asks >= 2.0).
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    from cvvae_tpu.models.video_vae import VideoVAE, config_for_variant
+
+    frames, height, width = 17, 720, 1280
+    vae = VideoVAE.from_config(config_for_variant("v1"), seed=0,
+                               dtype=jnp.bfloat16)
+    x = jax.random.normal(jax.random.PRNGKey(0),
+                          (1, frames, height, width, 3), jnp.bfloat16)
+
+    def roundtrip():
+        z = vae.encode(x).mode()
+        out = vae.decode(z)
+        out.block_until_ready()
+        return out
+
+    roundtrip()  # warm-up / compile
+    n_iters = 3
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        roundtrip()
+    dt = (time.perf_counter() - t0) / n_iters
+
+    fps = frames / dt
+    print(json.dumps({
+        "metric": "720p_encode_decode_fps_per_chip",
+        "value": round(fps, 2),
+        "unit": "frames/sec",
+        "vs_baseline": round(fps / 30.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -296,7 +296,8 @@ def init_decoder(key, cfg: VAESD3Config, dtype=jnp.float32) -> dict:
 def apply_decoder(params: dict, z: jax.Array, cfg: VAESD3Config, *,
                   deterministic: bool = True,
                   dropout_rng: Optional[jax.Array] = None,
-                  remat: bool = False) -> jax.Array:
+                  remat: bool = False,
+                  features_only: bool = False) -> jax.Array:
     """z: (B, T', H', W', latent) -> x_hat (B, 4(T'-1)+1, 8H', 8W', 3)."""
     causal = cfg.causal_decoder
 
@@ -332,8 +333,16 @@ def apply_decoder(params: dict, z: jax.Array, cfg: VAESD3Config, *,
     h = group_norm(h, params["conv_norm_out"], num_groups=cfg.norm_num_groups,
                    eps=NORM_EPS)
     h = silu(h)
+    if features_only:
+        return h
     h = conv3d(h, params["conv_out"], cfg.conv_spec(causal))
     return h
+
+
+def apply_decoder_head(conv_out_params: dict, h: jax.Array,
+                       cfg: VAESD3Config) -> jax.Array:
+    """Final decoder conv alone — see vae_v1.apply_decoder_head."""
+    return conv3d(h, conv_out_params, cfg.conv_spec(cfg.causal_decoder))
 
 
 def decoder_last_layer_path() -> Tuple[str, str]:

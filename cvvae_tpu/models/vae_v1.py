@@ -325,7 +325,8 @@ def init_decoder(key, cfg: VAE1Config, dtype=jnp.float32) -> dict:
 def apply_decoder(params: dict, z: jax.Array, cfg: VAE1Config, *,
                   deterministic: bool = True,
                   dropout_rng: Optional[jax.Array] = None,
-                  remat: bool = False) -> jax.Array:
+                  remat: bool = False,
+                  features_only: bool = False) -> jax.Array:
     """z: (B, T', H', W', z) -> x_hat (B, 4(T'-1)+1, 8H', 8W', 3)."""
     causal = cfg.causal_decoder
 
@@ -359,8 +360,19 @@ def apply_decoder(params: dict, z: jax.Array, cfg: VAE1Config, *,
 
     h = group_norm(h, params["norm_out"], num_groups=cfg.norm_num_groups, eps=NORM_EPS)
     h = silu(h)
+    if features_only:
+        return h
     h = conv3d(h, params["conv_out"], cfg.conv_spec(causal))
     return h
+
+
+def apply_decoder_head(conv_out_params: dict, h: jax.Array,
+                       cfg: VAE1Config) -> jax.Array:
+    """The decoder's final conv alone.  Splitting it out lets the training
+    engine take gradients of the NLL/GAN losses w.r.t. the last-layer
+    kernel (the adaptive discriminator weight,
+    discriminator_loss.py:211-220) without a second full decoder pass."""
+    return conv3d(h, conv_out_params, cfg.conv_spec(cfg.causal_decoder))
 
 
 def decoder_last_layer_path() -> Tuple[str, str]:

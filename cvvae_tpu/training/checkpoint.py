@@ -1,0 +1,64 @@
+"""Checkpointing: orbax-backed save/restore with the reference cadences.
+
+The reference keeps (a) a rolling checkpoint every 2000 steps with
+save_last + top-k (main.py:718-737) and (b) permanent weights-only
+checkpoints every 10000 steps (main.py:794-811).  Resume re-globs the
+latest (main.py:204-228,564-587); warm-start loads are non-strict
+(lvdm/models/autoencoder.py:68-86).
+
+Orbax writes asynchronously, so checkpointing overlaps device compute.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    def __init__(self, directory: str, *, rolling_every: int = 2000,
+                 keep: int = 3, permanent_every: int = 10000):
+        directory = os.path.abspath(directory)
+        os.makedirs(directory, exist_ok=True)
+        self.rolling_every = rolling_every
+        self.permanent_every = permanent_every
+        self._rolling = ocp.CheckpointManager(
+            os.path.join(directory, "rolling"),
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=keep, save_interval_steps=rolling_every,
+                enable_async_checkpointing=True))
+        self._permanent = ocp.CheckpointManager(
+            os.path.join(directory, "permanent"),
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=None, save_interval_steps=permanent_every,
+                enable_async_checkpointing=True))
+
+    def maybe_save(self, step: int, state: Any) -> None:
+        self._rolling.save(step, args=ocp.args.StandardSave(state))
+        if self.permanent_every and step and step % self.permanent_every == 0:
+            # permanent checkpoints are weights-only (main.py:794-811)
+            self._permanent.save(
+                step, args=ocp.args.StandardSave({"params": state.params}),
+                force=True)
+
+    def save_now(self, step: int, state: Any) -> None:
+        """melk(): forced checkpoint on signal/exception (main.py:881-919)."""
+        self._rolling.save(step, args=ocp.args.StandardSave(state), force=True)
+        self._rolling.wait_until_finished()
+
+    def latest_step(self) -> Optional[int]:
+        return self._rolling.latest_step()
+
+    def restore(self, abstract_state: Any, step: Optional[int] = None) -> Any:
+        step = step if step is not None else self._rolling.latest_step()
+        if step is None:
+            raise FileNotFoundError("no checkpoint to restore")
+        return self._rolling.restore(
+            step, args=ocp.args.StandardRestore(abstract_state))
+
+    def close(self):
+        self._rolling.wait_until_finished()
+        self._permanent.wait_until_finished()

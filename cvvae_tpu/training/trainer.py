@@ -1,0 +1,145 @@
+"""Training loop: the Lightning-Trainer analogue (fit/validate).
+
+Covers the reference assembly's runtime behaviors (main.py:503-958):
+per-step optimisation with G/D alternation (inside the engine), metric +
+LR logging, image logging with the early power-of-two cadence, rolling +
+permanent checkpoints, resume, SIGUSR1 -> checkpoint ("melk",
+main.py:881-900), and checkpoint-on-exception (main.py:916-919).
+"""
+
+from __future__ import annotations
+
+import signal
+import time
+from typing import Callable, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cvvae_tpu.training.checkpoint import CheckpointManager
+from cvvae_tpu.training.engine import TrainingEngine, TrainState
+from cvvae_tpu.training.logging import ImageLogger, MetricsLogger
+from cvvae_tpu.training.optim import get_schedule
+
+
+class Trainer:
+    def __init__(self, engine: TrainingEngine, logdir: str, *,
+                 max_steps: int = 200_000,
+                 ckpt_every: int = 2000, ckpt_keep: int = 3,
+                 permanent_every: int = 10_000,
+                 log_every: int = 1, image_every: int = 250,
+                 val_every: Optional[int] = None,
+                 mesh=None, seed: int = 0):
+        self.engine = engine
+        self.logdir = logdir
+        self.max_steps = max_steps
+        self.metrics = MetricsLogger(logdir)
+        self.images = ImageLogger(logdir, every=image_every)
+        self.ckpt = CheckpointManager(logdir, rolling_every=ckpt_every,
+                                      keep=ckpt_keep,
+                                      permanent_every=permanent_every)
+        self.val_every = val_every
+        self.log_every = log_every
+        self.seed = seed
+        ocfg = engine.cfg.optim
+        self._lr_schedule = get_schedule(
+            ocfg.scheduler, ocfg.base_lr * ocfg.lr_g_factor,
+            num_warmup_steps=ocfg.num_warmup_steps,
+            num_training_steps=ocfg.num_training_steps,
+            min_lr_ratio=ocfg.min_lr_ratio)
+        if mesh is not None:
+            from cvvae_tpu.parallel.mesh import shard_parallel_step
+            self._step_fn = shard_parallel_step(engine._train_step, mesh,
+                                                donate_state=False)
+            self._mesh = mesh
+        else:
+            self._step_fn = engine.train_step
+            self._mesh = None
+
+    # ------------------------------------------------------------------
+
+    def fit(self, data: Iterator, *, state: Optional[TrainState] = None,
+            resume: bool = False,
+            val_data: Optional[Iterator] = None) -> TrainState:
+        engine = self.engine
+        if state is None:
+            state = engine.init_state(jax.random.PRNGKey(self.seed))
+        if resume and self.ckpt.latest_step() is not None:
+            state = self.ckpt.restore(jax.tree.map(
+                jax.eval_shape if False else (lambda x: x), state))
+            print(f"[trainer] resumed at step {int(state.step)}")
+
+        rng = jax.random.PRNGKey(self.seed + 1)
+        melk_requested = {"flag": False}
+
+        def _melk(signum, frame):  # SIGUSR1 -> checkpoint (main.py:881-893)
+            melk_requested["flag"] = True
+
+        try:
+            signal.signal(signal.SIGUSR1, _melk)
+        except (ValueError, OSError):
+            pass  # non-main thread
+
+        step = int(state.step)
+        try:
+            while step < self.max_steps:
+                batch = next(data)
+                batch = {k: jnp.asarray(v) for k, v in batch.items()
+                         if isinstance(v, (np.ndarray, jnp.ndarray))}
+                if self._mesh is not None:
+                    from cvvae_tpu.parallel.mesh import put_batch
+                    batch = put_batch(batch, self._mesh)
+                rng, sub = jax.random.split(rng)
+                state, metrics = self._step_fn(state, batch, sub)
+                step = int(state.step)
+
+                if self.log_every and step % self.log_every == 0:
+                    self.metrics.log(step,
+                                     {k: float(v) for k, v in metrics.items()},
+                                     lr=float(self._lr_schedule(step)))
+                self.ckpt.maybe_save(step, state)
+                if melk_requested["flag"]:
+                    self.ckpt.save_now(step, state)
+                    melk_requested["flag"] = False
+                if val_data is not None and self.val_every and \
+                        step % self.val_every == 0:
+                    self.validate(state, val_data, step)
+        except BaseException:
+            # checkpoint-then-reraise (main.py:916-919)
+            self.ckpt.save_now(step, state)
+            raise
+        self.ckpt.close()
+        return state
+
+    # ------------------------------------------------------------------
+
+    def validate(self, state: TrainState, val_data: Iterator,
+                 step: int, n_batches: int = 1) -> dict:
+        """Reconstruction eval + image panels; runs with raw weights and,
+        when EMA is enabled, a second pass with shadow weights
+        (autoencoder.py:380-385)."""
+        engine = self.engine
+        cfg = engine.cfg
+
+        def recon(params, batch, rng):
+            posterior, z, _, xrec, _ = engine._forward(params, batch, rng)
+            return xrec
+
+        out = {}
+        for tag, params in [("", state.params)] + (
+                [("_ema", state.ema.shadow)] if state.ema is not None else []):
+            losses = []
+            for i in range(n_batches):
+                batch = next(val_data)
+                x = jnp.asarray(batch["frames"])
+                xrec = recon(params, x, jax.random.PRNGKey(i))
+                xrec = xrec[:x.shape[0]]
+                losses.append(float(jnp.mean(jnp.abs(
+                    x.astype(jnp.float32) - xrec.astype(jnp.float32)))))
+                if i == 0:
+                    self.images.log(step, np.asarray(x), np.asarray(xrec),
+                                    split=f"val{tag}")
+            out[f"val{tag}/loss/rec"] = float(np.mean(losses))
+        self.metrics.log(step, out)
+        return out

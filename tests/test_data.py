@@ -1,0 +1,135 @@
+"""Data pipeline tests: tar/csv readers, sharding, weighted mixing,
+decoders, transforms — against synthetic shards built on the fly."""
+
+import csv
+import io
+import os
+import tarfile
+
+import numpy as np
+import pytest
+
+from cvvae_tpu.data import pipeline as pl
+from cvvae_tpu.data import transforms as tfm
+
+
+@pytest.fixture(scope="module")
+def wds_dir(tmp_path_factory):
+    """Two webdataset tars of 4 jpg+txt samples each."""
+    import cv2
+    d = tmp_path_factory.mktemp("wds")
+    for t in range(2):
+        with tarfile.open(d / f"shard{t}.tar", "w") as tf:
+            for i in range(4):
+                key = f"s{t}_{i}"
+                img = np.full((64, 48, 3), 10 * i, np.uint8)
+                ok, enc = cv2.imencode(".jpg", img)
+                assert ok
+                for ext, data in (("jpg", enc.tobytes()),
+                                  ("txt", f"caption {key}".encode())):
+                    info = tarfile.TarInfo(f"{key}.{ext}")
+                    info.size = len(data)
+                    tf.addfile(info, io.BytesIO(data))
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def video_csv_dir(tmp_path_factory):
+    """A csv pointing at two tiny synthetic mp4s."""
+    import cv2
+    d = tmp_path_factory.mktemp("vids")
+    rows = []
+    for i in range(2):
+        path = d / f"v{i}.mp4"
+        w = cv2.VideoWriter(str(path), cv2.VideoWriter_fourcc(*"mp4v"),
+                            10, (64, 64))
+        for f in range(40):
+            w.write(np.full((64, 64, 3), (f * 5) % 255, np.uint8))
+        w.release()
+        rows.append({"path": f"v{i}.mp4", "name": f"video {i}"})
+    with open(d / "meta.csv", "w", newline="") as f:
+        wtr = csv.DictWriter(f, fieldnames=["path", "name"])
+        wtr.writeheader()
+        wtr.writerows(rows)
+    return str(d)
+
+
+def test_tar_reader_groups_and_sorts(wds_dir):
+    samples = list(pl.tar_sample_reader(pl.list_files(wds_dir, "*.tar")))
+    assert len(samples) == 8
+    assert all({"jpg", "txt", "__key__"} <= set(s) for s in samples)
+
+
+def test_tar_reader_warns_on_corrupt_shard(tmp_path):
+    bad = tmp_path / "bad.tar"
+    bad.write_bytes(b"this is not a tar file")
+    with pytest.warns(UserWarning):
+        assert list(pl.tar_sample_reader([str(bad)])) == []
+
+
+def test_sharding_partitions_disjointly():
+    items = list(range(20))
+    shards = [list(pl.shard(iter(items), i, 4)) for i in range(4)]
+    assert sorted(sum(shards, [])) == items
+    assert all(len(s) == 5 for s in shards)
+
+
+def test_multiplexer_weights():
+    a = iter(["a"] * 300)
+    b = iter(["b"] * 300)
+    out = []
+    mux = pl.sample_multiplexer({a: 0.9, b: 0.1}, seed=0)
+    for _ in range(200):
+        out.append(next(mux))
+    frac_a = out.count("a") / len(out)
+    assert 0.8 < frac_a < 0.98
+
+
+def test_image_pipeline_end_to_end(wds_dir):
+    from cvvae_tpu.data.decoders import make_image_decoder
+    it = pl.build_webdataset_pipeline(
+        urls_or_dir=wds_dir, repeat=1, batch_size=4,
+        decoder=make_image_decoder(size=32),
+        select_keys=("frames", "caption"))
+    batch = next(it)
+    assert batch["frames"].shape == (4, 1, 32, 32, 3)
+    assert batch["frames"].dtype == np.float32
+    assert batch["frames"].min() >= -1.0 and batch["frames"].max() <= 1.0
+    assert len(batch["caption"]) == 4
+
+
+def test_video_pipeline_end_to_end(video_csv_dir):
+    from cvvae_tpu.data.decoders import make_webvid_decoder
+    it = pl.build_metadata_pipeline(
+        urls_or_dir=video_csv_dir, file_mask="*.csv", repeat=1, batch_size=1,
+        decoder=make_webvid_decoder(num_frames=9, resize=64, crop_size=32,
+                                    video_root=video_csv_dir),
+        select_keys=("frames", "caption", "fps_id", "cond_aug"))
+    batch = next(it)
+    assert batch["frames"].shape == (1, 9, 32, 32, 3)
+    assert np.isfinite(batch["frames"]).all()
+
+
+def test_mixed_dataset(wds_dir, video_csv_dir):
+    from cvvae_tpu.data.decoders import make_image_decoder, make_webvid_decoder
+    img = pl.build_webdataset_pipeline(
+        urls_or_dir=wds_dir, repeat=10, batch_size=2,
+        decoder=make_image_decoder(size=32), select_keys=("frames",))
+    vid = pl.build_metadata_pipeline(
+        urls_or_dir=video_csv_dir, file_mask="*.csv", repeat=10, batch_size=1,
+        decoder=make_webvid_decoder(num_frames=5, resize=64, crop_size=32,
+                                    video_root=video_csv_dir),
+        select_keys=("frames",))
+    mix = pl.build_multi_dataset({"image": img, "video": vid},
+                                 {"image": 0.5, "video": 0.5}, seed=58,
+                                 shard_id=0)
+    shapes = {next(mix)["frames"].shape for _ in range(8)}
+    assert (2, 1, 32, 32, 3) in shapes and (1, 5, 32, 32, 3) in shapes
+
+
+def test_cover_resize():
+    x = np.zeros((30, 60, 3), np.uint8)
+    out = tfm.cover_resize(x, (32, 32))
+    assert out.shape == (32, 32, 3)
+    vid = np.zeros((3, 30, 60, 3), np.uint8)
+    assert tfm.cover_resize(vid, (16, 24)).shape == (3, 16, 24, 3)
