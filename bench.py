@@ -26,8 +26,10 @@ def main():
     def roundtrip():
         z = vae.encode(x).mode()
         out = vae.decode(z)
-        out.block_until_ready()
-        return out
+        # NOTE: under the axon TPU tunnel block_until_ready() returns
+        # before remote execution finishes; a scalar fetch is the only
+        # reliable sync.
+        return float(jnp.sum(out.astype(jnp.float32)))
 
     roundtrip()  # warm-up / compile
     n_iters = 3

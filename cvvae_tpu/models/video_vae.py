@@ -110,13 +110,27 @@ class VideoVAE:
         self.params = params
         net = config.net
         if config.family == "v1":
-            self._enc = jax.jit(lambda p, x: vae_v1.apply_encoder(p, x, net))
-            self._dec = jax.jit(lambda p, z: vae_v1.apply_decoder(p, z, net))
+            enc = lambda p, x: vae_v1.apply_encoder(p, x, net)
+            dec = lambda p, z: vae_v1.apply_decoder(p, z, net)
         elif config.family == "sd3":
-            self._enc = jax.jit(lambda p, x: vae_sd3.apply_encoder(p, x, net))
-            self._dec = jax.jit(lambda p, z: vae_sd3.apply_decoder(p, z, net))
+            enc = lambda p, x: vae_sd3.apply_encoder(p, x, net)
+            dec = lambda p, z: vae_sd3.apply_decoder(p, z, net)
         else:
             raise ValueError(f"unknown family {config.family}")
+        self._enc_fn, self._dec_fn = enc, dec
+        self._enc = jax.jit(enc)
+        self._dec = jax.jit(dec)
+        # One jitted program per temporal chunk: the whole spatial tile
+        # loop — slicing, (shape-grouped, batched) net calls, seam
+        # blending, crop+concat — traces into a single XLA program, so a
+        # chunk costs one dispatch instead of O(tiles) round-trips and
+        # XLA schedules/fuses across tiles.
+        self._sp_enc = jax.jit(lambda p, x: self._spatial_tiled(
+            x, lambda v: enc(p, v), config.pixel_tile_size,
+            config.latent_tile_size))
+        self._sp_dec = jax.jit(lambda p, z: self._spatial_tiled(
+            z, lambda v: dec(p, v), config.latent_tile_size,
+            config.pixel_tile_size))
 
     # ------------------------------------------------------------------
     # construction
@@ -160,8 +174,8 @@ class VideoVAE:
     # spatial tiling  [models/modeling_vae.py:144-191, 230-277]
     # ------------------------------------------------------------------
 
-    def _spatial_tiled(self, x: jax.Array, net, tile: int, out_tile: int,
-                       in_is_pixel: bool) -> jax.Array:
+    def _spatial_tiled(self, x: jax.Array, net, tile: int,
+                       out_tile: int) -> jax.Array:
         cfg = self.config
         if tile is None or (x.shape[2] <= tile and x.shape[3] <= tile):
             return net(x)
@@ -169,16 +183,39 @@ class VideoVAE:
         out_overlap = round(out_tile * cfg.tile_overlap_ratio)
         out_stride = out_tile - out_overlap
 
-        rows = []
+        # slice the tile grid
+        tile_grid = []
         for i in range(0, x.shape[2], in_stride):
-            cols = []
+            row = []
             for j in range(0, x.shape[3], in_stride):
-                cols.append(net(x[:, :, i:i + tile, j:j + tile, :]))
+                row.append(x[:, :, i:i + tile, j:j + tile, :])
                 if j + tile >= x.shape[3]:
                     break
-            rows.append(cols)
+            tile_grid.append(row)
             if i + tile >= x.shape[2]:
                 break
+
+        # Group same-shape tiles and run each group through lax.map: the
+        # whole grid is still ONE XLA program (one dispatch per chunk),
+        # but tiles execute strictly sequentially so peak HBM is a single
+        # tile's working set — batching or free-form per-tile calls let
+        # the scheduler co-schedule tiles and OOM at 720p — and each
+        # distinct tile shape instantiates the net exactly once
+        # (compile time ~ #shapes, not #tiles).
+        by_shape = {}
+        for i, row in enumerate(tile_grid):
+            for j, t in enumerate(row):
+                by_shape.setdefault(t.shape, []).append((i, j, t))
+        rows = [[None] * len(r) for r in tile_grid]
+        for shape, entries in by_shape.items():
+            if len(entries) == 1:
+                i, j, t = entries[0]
+                rows[i][j] = net(t)
+                continue
+            stacked = jnp.stack([t for _, _, t in entries])
+            outs = jax.lax.map(net, stacked)
+            for k, (i, j, _) in enumerate(entries):
+                rows[i][j] = outs[k]
 
         # The reference's blend_h/blend_v mutate tiles in place
         # [models/modeling_vae.py:321-341], so each tile is blended
@@ -206,14 +243,10 @@ class VideoVAE:
         return jnp.concatenate(out_rows, axis=2)
 
     def spatial_tiled_encode(self, x: jax.Array) -> jax.Array:
-        cfg = self.config
-        return self._spatial_tiled(x, self._encoder, cfg.pixel_tile_size,
-                                   cfg.latent_tile_size, in_is_pixel=True)
+        return self._sp_enc(self.params["encoder"], x)
 
     def spatial_tiled_decode(self, z: jax.Array) -> jax.Array:
-        cfg = self.config
-        return self._spatial_tiled(z, self._decoder, cfg.latent_tile_size,
-                                   cfg.pixel_tile_size, in_is_pixel=False)
+        return self._sp_dec(self.params["decoder"], z)
 
     # ------------------------------------------------------------------
     # temporal chunking  [models/modeling_vae.py:193-210, 279-296]

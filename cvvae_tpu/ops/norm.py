@@ -28,19 +28,26 @@ def group_norm(x: jax.Array, params: dict, *, num_groups: int = 32,
     Statistics reduce over every axis except batch (axis 0), per group.
     Works for (B,T,H,W,C), (B,H,W,C) and any (B, ..., C).
     """
-    orig_dtype = x.dtype
     c = x.shape[-1]
     if c % num_groups:
         raise ValueError(f"channels {c} not divisible by groups {num_groups}")
-    xf = x.astype(jnp.float32)
-    grouped = xf.reshape(x.shape[:-1] + (num_groups, c // num_groups))
+    cg = c // num_groups
+    grouped = x.reshape(x.shape[:-1] + (num_groups, cg))
     reduce_axes = tuple(range(1, grouped.ndim - 2)) + (grouped.ndim - 1,)
-    mean = grouped.mean(axis=reduce_axes, keepdims=True)
-    var = grouped.var(axis=reduce_axes, keepdims=True)
-    normed = (grouped - mean) * jax.lax.rsqrt(var + eps)
-    normed = normed.reshape(x.shape)
-    out = normed * params["scale"].astype(jnp.float32) + params["bias"].astype(jnp.float32)
-    return out.astype(orig_dtype)
+    # fp32 statistics via fused converting reductions (no fp32 copy of x
+    # is materialised — that costs gigabytes at level-0 resolutions)
+    xf = grouped.astype(jnp.float32)
+    mean = xf.mean(axis=reduce_axes, keepdims=True)
+    var = jnp.square(xf).mean(axis=reduce_axes, keepdims=True) - jnp.square(mean)
+    inv = jax.lax.rsqrt(var + eps)
+    # fold (x - mean) * inv * scale + bias into one affine so the
+    # elementwise pass stays in the input dtype
+    scale = params["scale"].astype(jnp.float32).reshape(num_groups, cg)
+    bias = params["bias"].astype(jnp.float32).reshape(num_groups, cg)
+    a = (inv * scale).astype(x.dtype)
+    b = (bias - mean * inv * scale).astype(x.dtype)
+    out = grouped * a + b
+    return out.reshape(x.shape)
 
 
 def group_norm_per_frame(x: jax.Array, params: dict, *, num_groups: int = 32,

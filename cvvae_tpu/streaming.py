@@ -1,0 +1,159 @@
+"""Streaming long-video encode/decode with bounded memory.
+
+The reference materialises the full video tensor on the GPU and loops
+over temporal windows eagerly (models/modeling_vae.py:193-210,279-296).
+Here the host reads/normalises 16+1-frame windows while the device
+encodes the previous one — JAX dispatch is async, so compute overlaps
+video IO naturally (the double-buffering of BASELINE's north star) — and
+only one window of pixels plus the accumulated latents are ever
+resident.  Chunk semantics are exactly the reference's: consecutive
+windows share one frame and later windows drop their first latent, so
+the result matches `VideoVAE.encode` bit-for-bit.
+
+Covers BASELINE config 5: "long-video streaming: chunked temporal
+encode, 720p 30s clip".
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cvvae_tpu.models.video_vae import VideoVAE
+
+
+def _chunk_frames(frame_iter: Iterator[np.ndarray], window: int
+                  ) -> Iterator[np.ndarray]:
+    """Group frames into window+1-sized chunks with one-frame overlap."""
+    chunk = []
+    prev_last: Optional[np.ndarray] = None
+    for frame in frame_iter:
+        chunk.append(frame)
+        if (prev_last is None and len(chunk) == window + 1) or \
+           (prev_last is not None and len(chunk) == window):
+            if prev_last is not None:
+                yield np.stack([prev_last] + chunk)
+                prev_last = chunk[-1]
+                chunk = []
+            else:
+                yield np.stack(chunk)
+                prev_last = chunk[-1]
+                chunk = []
+    if chunk:
+        if prev_last is not None:
+            yield np.stack([prev_last] + chunk)
+        else:
+            yield np.stack(chunk)
+
+
+def read_video_frames(path: str, *, height: Optional[int] = None,
+                      width: Optional[int] = None,
+                      max_frames: Optional[int] = None
+                      ) -> Tuple[Iterator[np.ndarray], float]:
+    """Lazily decode frames (RGB uint8) one at a time."""
+    import cv2
+    cap = cv2.VideoCapture(path)
+    if not cap.isOpened():
+        raise FileNotFoundError(path)
+    fps = cap.get(cv2.CAP_PROP_FPS) or 30.0
+
+    def gen():
+        n = 0
+        while True:
+            ok, frame = cap.read()
+            if not ok or (max_frames is not None and n >= max_frames):
+                break
+            if height is not None and width is not None:
+                frame = cv2.resize(frame, (width, height),
+                                   interpolation=cv2.INTER_LINEAR)
+            yield cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+            n += 1
+        cap.release()
+
+    return gen(), fps
+
+
+def streaming_encode(vae: VideoVAE, frame_iter: Iterator[np.ndarray], *,
+                     dtype=jnp.bfloat16, sample: bool = False,
+                     key: Optional[jax.Array] = None) -> Iterator[jax.Array]:
+    """frames (H,W,3) uint8 -> latent chunks (1, t', h', w', z).
+
+    Device work for chunk k overlaps host decode of chunk k+1 (async
+    dispatch); each yielded chunk is left on device for the consumer.
+    """
+    window = vae.config.en_de_n_frames_a_time
+    assert window is not None
+    first = True
+    for chunk_np in _chunk_frames(frame_iter, window):
+        x = jnp.asarray(chunk_np, dtype=dtype)[None] / 127.5 - 1.0
+        posterior = vae.encode(x)
+        if sample:
+            key, sub = jax.random.split(key)
+            z = posterior.sample(sub)
+        else:
+            z = posterior.mode()
+        yield z if first else z[:, 1:]
+        first = False
+
+
+def streaming_decode(vae: VideoVAE, latent_iter: Iterator[jax.Array]
+                     ) -> Iterator[np.ndarray]:
+    """latent chunks -> uint8 frame blocks.
+
+    Windows of ``decode_n_frames_a_time``+1 latents with one-latent
+    overlap; every window after the first drops its first output frame —
+    byte-identical to the reference's tiled_decode over the full latent
+    sequence (modeling_vae.py:279-296)."""
+    window = vae.config.decode_n_frames_a_time
+    assert window is not None
+
+    def flush(x, drop_first):
+        frames = np.asarray(x[0].astype(jnp.float32))
+        if drop_first:
+            frames = frames[1:]
+        return np.clip((frames + 1.0) * 127.5, 0, 255).astype(np.uint8)
+
+    buf = None
+    first = True
+    for z in latent_iter:
+        buf = z if buf is None else jnp.concatenate([buf, z], axis=1)
+        while buf.shape[1] >= window + 1:
+            piece = buf[:, :window + 1]
+            buf = buf[:, window:]          # keep the overlap latent
+            yield flush(vae.spatial_tiled_decode(piece), drop_first=not first)
+            first = False
+    # tail: a partial window (first latent is the overlap unless nothing
+    # was emitted yet)
+    if buf is not None and (buf.shape[1] > 1 or (first and buf.shape[1] == 1)):
+        yield flush(vae.spatial_tiled_decode(buf), drop_first=not first)
+
+
+def reconstruct_video_streaming(vae: VideoVAE, in_path: str, out_path: str,
+                                *, height: Optional[int] = None,
+                                width: Optional[int] = None,
+                                max_frames: Optional[int] = None,
+                                dtype=jnp.bfloat16) -> dict:
+    """End-to-end bounded-memory reconstruction of an arbitrarily long
+    video.  Returns stats."""
+    import cv2
+    frames, fps = read_video_frames(in_path, height=height, width=width,
+                                    max_frames=max_frames)
+    writer = None
+    n_out = 0
+    lat_frames = 0
+    for block in streaming_decode(vae, streaming_encode(vae, frames,
+                                                        dtype=dtype)):
+        if writer is None:
+            h, w = block.shape[1:3]
+            writer = cv2.VideoWriter(out_path,
+                                     cv2.VideoWriter_fourcc(*"mp4v"), fps,
+                                     (w, h))
+        for f in block:
+            writer.write(cv2.cvtColor(f, cv2.COLOR_RGB2BGR))
+        n_out += len(block)
+    if writer is not None:
+        writer.release()
+    return {"frames_out": n_out, "fps": fps, "out_path": out_path}
