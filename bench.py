@@ -15,11 +15,14 @@ import jax.numpy as jnp
 
 
 def main():
-    from cvvae_tpu.models.video_vae import VideoVAE, config_for_variant
+    from cvvae_tpu.models.video_vae import VideoVAE, VideoVAEConfig
 
     frames, height, width = 17, 720, 1280
-    vae = VideoVAE.from_config(config_for_variant("v1"), seed=0,
-                               dtype=jnp.bfloat16)
+    # production TPU config: 720-px tiles (v5e HBM affords larger tiles
+    # than the reference's 576 GPU default -> less overlap redundancy,
+    # fewer seams; chunk/blend semantics unchanged)
+    cfg = VideoVAEConfig(family="v1", tile_spatial_size=720)
+    vae = VideoVAE.from_config(cfg, seed=0, dtype=jnp.bfloat16)
     x = jax.random.normal(jax.random.PRNGKey(0),
                           (1, frames, height, width, 3), jnp.bfloat16)
 

@@ -151,9 +151,10 @@ def _upsample_spec(cfg: VAESD3Config, causal: bool) -> Conv3DSpec:
 
 def apply_upsample(params: dict, x: jax.Array, cfg: VAESD3Config,
                    causal: bool, up_time: bool) -> jax.Array:
+    from cvvae_tpu.ops.upsample_conv import upsample2x_conv3x3
     n = 2 if up_time else 1
-    x = nearest_upsample_2x_spatial(x)
-    x = conv3d(x, params, _upsample_spec(cfg, causal))
+    x = upsample2x_conv3x3(x, params, t_pad=(2, 0) if causal else (1, 1),
+                           t_mode="edge", hw_mode="edge")
     return temporal_interleave(x, n, drop_first=True)
 
 

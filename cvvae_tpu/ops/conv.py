@@ -151,19 +151,81 @@ def conv3d(x: jax.Array, params: dict, spec: Conv3DSpec, *,
     elif kernel.dtype != x.dtype:
         kernel = kernel.astype(x.dtype)
 
-    x = _edge_pad(x, spec.pads, spec.modes)
-    lax_padding = [
-        tuple(pad) if mode == "zero" else (0, 0)
-        for pad, mode in zip(spec.pads, spec.modes)
-    ]
-    y = lax.conv_general_dilated(
-        x, kernel,
-        window_strides=spec.stride,
-        padding=lax_padding,
-        dimension_numbers=_DIMENSION_NUMBERS,
-        precision=precision,
-    )
+    if (spec.modes[0] == "edge" and spec.modes[1] == "zero"
+            and spec.modes[2] == "zero" and (spec.pads[0][0] or spec.pads[0][1])
+            and x.shape[1] > 1):
+        y = _conv3d_edge_time_fast(x, kernel, spec, precision)
+    else:
+        x = _edge_pad(x, spec.pads, spec.modes)
+        lax_padding = [
+            tuple(pad) if mode == "zero" else (0, 0)
+            for pad, mode in zip(spec.pads, spec.modes)
+        ]
+        y = lax.conv_general_dilated(
+            x, kernel,
+            window_strides=spec.stride,
+            padding=lax_padding,
+            dimension_numbers=_DIMENSION_NUMBERS,
+            precision=precision,
+        )
     bias = params.get("bias")
     if bias is not None:
         y = y + bias.astype(y.dtype)
+    return y
+
+
+def _conv3d_edge_time_fast(x: jax.Array, kernel: jax.Array, spec: Conv3DSpec,
+                           precision) -> jax.Array:
+    """Edge ("replicate") time padding without copying the whole tensor.
+
+    Replicate-padding T by (lo, hi) then convolving equals zero-padding
+    (free — folded into the conv window config) plus a boundary fix: for
+    the few output frames whose window reaches past the clip, the missing
+    taps all read the first (or last) frame, so the correction is a tiny
+    per-frame 2D conv of x[:, :1] / x[:, -1:] with the summed kernel
+    taps, padded-and-added into y (fuses into the conv epilogue).  This
+    removes a full-tensor HBM round trip per causal conv.
+    """
+    lo, hi = spec.pads[0]
+    st = spec.stride[0]
+    kt = spec.kernel[0]
+    t_in = x.shape[1]
+    hw_padding = [tuple(spec.pads[1]), tuple(spec.pads[2])]
+
+    y = lax.conv_general_dilated(
+        x, kernel, window_strides=spec.stride,
+        padding=[(lo, hi)] + hw_padding,
+        dimension_numbers=_DIMENSION_NUMBERS, precision=precision)
+    t_out = y.shape[1]
+
+    def frame_conv(frame, taps):
+        """(B,1,H,W,C) conv with summed time taps (1,kh,kw,I,O)."""
+        k2 = jnp.sum(taps, axis=0, keepdims=True)
+        return lax.conv_general_dilated(
+            frame, k2, window_strides=(1,) + spec.stride[1:],
+            padding=[(0, 0)] + hw_padding,
+            dimension_numbers=_DIMENSION_NUMBERS, precision=precision)
+
+    lo_fixes = []
+    o = 0
+    while o * st < lo and o < t_out:
+        n_missing = lo - o * st
+        lo_fixes.append(frame_conv(x[:, :1], kernel[:n_missing]))
+        o += 1
+    hi_fixes = []
+    o = t_out - 1
+    while o >= 0 and (o * st - lo + kt - 1) > t_in - 1:
+        n_missing = (o * st - lo + kt - 1) - (t_in - 1)
+        hi_fixes.append(frame_conv(x[:, -1:], kernel[kt - n_missing:]))
+        o -= 1
+    hi_fixes = hi_fixes[::-1]
+
+    if lo_fixes:
+        fix = jnp.concatenate(lo_fixes, axis=1)
+        y = y + jnp.pad(fix, ((0, 0), (0, t_out - fix.shape[1]),
+                              (0, 0), (0, 0), (0, 0)))
+    if hi_fixes:
+        fix = jnp.concatenate(hi_fixes, axis=1)
+        y = y + jnp.pad(fix, ((0, 0), (t_out - fix.shape[1], 0),
+                              (0, 0), (0, 0), (0, 0)))
     return y

@@ -1,0 +1,87 @@
+"""Fused nearest-2x-upsample + 3x3 conv via subpixel phase decomposition.
+
+The reference upsample blocks compute ``conv3x3(nearest_2x_hw(x))``
+(models/vae_models.py:214-232, models/vae_blocks3d_sd3.py:342-356),
+which materialises a 4x-area intermediate and runs the conv on it.
+Because nearest-neighbour duplicates pixels, each output phase (parity
+of the output row/column) only ever sees *two* distinct source pixels
+per axis:
+
+    y[2i]   = w0 * x[i-1] + (w1 + w2) * x[i]
+    y[2i+1] = (w0 + w1) * x[i] + w2 * x[i+1]
+
+so the op decomposes exactly into four convs with (kT, 2, 2) kernels on
+the ORIGINAL tensor, interleaved subpixel-style:
+2.25x fewer MACs (16*kT vs 36*kT taps per 2x2 output block) and no 4x
+intermediate in HBM.  Bit-exact up to float reassociation (the kernel
+tap sums), validated against the naive path in tests.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+_DN = ("NDHWC", "DHWIO", "NDHWC")
+
+
+def _phase_kernels(w: jax.Array) -> Tuple[jax.Array, ...]:
+    """w: (kT, 3, 3, I, O) -> four (kT, 2, 2, I, O) phase kernels,
+    ordered (h_even, w_even), (h_even, w_odd), (h_odd, w_even),
+    (h_odd, w_odd)."""
+    h_even = jnp.concatenate([w[:, 0:1], w[:, 1:2] + w[:, 2:3]], axis=1)
+    h_odd = jnp.concatenate([w[:, 0:1] + w[:, 1:2], w[:, 2:3]], axis=1)
+    out = []
+    for wh in (h_even, h_odd):
+        w_even = jnp.concatenate([wh[:, :, 0:1], wh[:, :, 1:2] + wh[:, :, 2:3]],
+                                 axis=2)
+        w_odd = jnp.concatenate([wh[:, :, 0:1] + wh[:, :, 1:2], wh[:, :, 2:3]],
+                                axis=2)
+        out.extend([w_even, w_odd])
+    # reorder to (he,we),(he,wo),(ho,we),(ho,wo)
+    return out[0], out[1], out[2], out[3]
+
+
+def upsample2x_conv3x3(x: jax.Array, params: dict, *, t_pad: Tuple[int, int],
+                       t_mode: str, hw_mode: str = "zero") -> jax.Array:
+    """y == conv3d(nearest_2x_hw(x), kernel) with H/W padding 1 in
+    ``hw_mode`` ("zero"|"edge") and time padding ``t_pad`` in ``t_mode``.
+
+    x: (B, T, H, W, C) -> (B, T', 2H, 2W, O).
+    """
+    kernel = params["kernel"].astype(x.dtype)  # (kT, 3, 3, I, O)
+    if t_mode == "edge" and (t_pad[0] or t_pad[1]):
+        x = jnp.pad(x, ((0, 0), tuple(t_pad), (0, 0), (0, 0), (0, 0)),
+                    mode="edge")
+        t_lax = (0, 0)
+    else:
+        t_lax = tuple(t_pad)
+    if hw_mode == "edge":
+        x = jnp.pad(x, ((0, 0), (0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+        pads_h = {"even": (0, -1), "odd": (-1, 0)}
+        pads_w = {"even": (0, -1), "odd": (-1, 0)}
+    else:
+        pads_h = {"even": (1, 0), "odd": (0, 1)}
+        pads_w = {"even": (1, 0), "odd": (0, 1)}
+
+    ks = _phase_kernels(kernel)
+    phases = []
+    for idx, (hp, wp) in enumerate((("even", "even"), ("even", "odd"),
+                                    ("odd", "even"), ("odd", "odd"))):
+        y = lax.conv_general_dilated(
+            x, ks[idx], (1, 1, 1),
+            [t_lax, pads_h[hp], pads_w[wp]],
+            dimension_numbers=_DN)
+        phases.append(y)
+    b, t, h, w, c = phases[0].shape
+    y = jnp.stack(phases, axis=4)          # (B,T',H,W,4,O)
+    y = y.reshape(b, t, h, w, 2, 2, c)
+    y = y.transpose(0, 1, 2, 4, 3, 5, 6)   # (B,T',H,2,W,2,O)
+    y = y.reshape(b, t, 2 * h, 2 * w, c)
+    bias = params.get("bias")
+    if bias is not None:
+        y = y + bias.astype(y.dtype)
+    return y

@@ -156,3 +156,27 @@ def test_sample_statistics():
     s = d.sample(jax.random.PRNGKey(0))
     assert abs(float(s.mean()) - 2.0) < 0.1
     assert abs(float(s.std()) - 0.5) < 0.05
+
+
+def test_upsample2x_conv_matches_naive():
+    """Subpixel phase decomposition == conv3d(nearest2x(x)) for every
+    padding variant used by the upsample blocks."""
+    import jax
+    from cvvae_tpu.ops.upsample_conv import upsample2x_conv3x3
+    from cvvae_tpu.ops.conv import Conv3DSpec, conv3d
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.randn(1, 5, 6, 7, 8).astype(np.float32))
+    params = {"kernel": jnp.asarray(rs.randn(3, 3, 3, 8, 16).astype(np.float32)) * 0.1,
+              "bias": jnp.asarray(rs.randn(16).astype(np.float32)) * 0.1}
+    for t_pad, t_mode, hw_mode in [((1, 1), "edge", "zero"),   # v1 non-causal
+                                   ((2, 0), "edge", "zero"),   # v1 causal
+                                   ((1, 1), "edge", "edge"),   # sd3 plain
+                                   ((2, 0), "edge", "edge")]:  # sd3 causal
+        spec = Conv3DSpec((3, 3, 3), (1, 1, 1),
+                          (t_pad, (1, 1), (1, 1)),
+                          ("edge", hw_mode, hw_mode))
+        naive = conv3d(nearest_upsample_2x_spatial(x), params, spec)
+        fused = upsample2x_conv3x3(x, params, t_pad=t_pad, t_mode=t_mode,
+                                   hw_mode=hw_mode)
+        np.testing.assert_allclose(np.asarray(fused), np.asarray(naive),
+                                   atol=2e-5, err_msg=str((t_pad, hw_mode)))
