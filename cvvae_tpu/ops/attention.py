@@ -57,6 +57,40 @@ def _attention_block(q_blk: jax.Array, k: jax.Array, v: jax.Array,
                       preferred_element_type=jnp.float32).astype(v.dtype)
 
 
+def _flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
+                     scale: float) -> jax.Array:
+    """Pallas TPU flash attention for the single-head mid-blocks.
+
+    XLA's unfused path materialises the (S, S) fp32 score matrix — at a
+    90px latent tile that is ~1.3GB and dominates the whole mid block
+    (~165ms measured vs ~6ms flash).  Sequences are padded to a lane
+    multiple and masked out via segment ids; accumulation stays fp32
+    inside the kernel.
+    """
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        SegmentIds, flash_attention)
+    b, s, c = q.shape
+    s_pad = -(-s // 512) * 512
+    if s_pad != s:
+        pad = ((0, 0), (0, s_pad - s), (0, 0))
+        q, k, v = (jnp.pad(t, pad) for t in (q, k, v))
+        seg = jnp.where(jnp.arange(s_pad) < s, 1, 2).astype(jnp.int32)
+        seg = jnp.broadcast_to(seg, (b, s_pad))
+        segment_ids = SegmentIds(q=seg, kv=seg)
+    else:
+        segment_ids = None
+    out = flash_attention(q[:, None], k[:, None], v[:, None],
+                          segment_ids=segment_ids, sm_scale=scale)
+    return out[:, 0, :s]
+
+
+def _flash_usable(q: jax.Array) -> bool:
+    if q.dtype != jnp.bfloat16 or q.shape[1] < 1024:
+        return False
+    platform = jax.devices()[0].platform
+    return platform not in ("cpu",)
+
+
 def single_head_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
                           scale: Optional[float] = None,
                           query_chunk_size: int = 2048) -> jax.Array:
@@ -64,6 +98,8 @@ def single_head_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
     s = q.shape[1]
     if scale is None:
         scale = 1.0 / math.sqrt(q.shape[-1])
+    if _flash_usable(q):
+        return _flash_attention(q, k, v, scale)
     if s <= query_chunk_size or s % query_chunk_size:
         return _attention_block(q, k, v, scale)
     n_blocks = s // query_chunk_size

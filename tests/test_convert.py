@@ -1,0 +1,72 @@
+"""Checkpoint conversion tests: HF dir -> VideoVAE end-to-end, plus
+Lightning-style state dicts."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+import torch
+
+import jax.numpy as jnp
+
+import tests.torch_ref as tr
+
+if not tr.reference_available():
+    pytest.skip("reference repo not mounted", allow_module_level=True)
+
+
+@pytest.fixture(scope="module")
+def hf_dir(tmp_path_factory):
+    """Build a tiny HF checkpoint dir from the reference CVVAEModel."""
+    from safetensors.torch import save_file
+    mv = tr.load_reference_module("models.modeling_vae")
+    torch.manual_seed(0)
+    model = mv.CVVAEModel(ch=32, ch_mult=[1, 2, 4, 4], num_res_blocks=2,
+                          z_channels=4, tile_spatial_size=None).eval()
+    d = tmp_path_factory.mktemp("ckpt")
+    cfg = {
+        "_class_name": "CVVAEModel", "z_channels": 4, "ch": 32,
+        "ch_mult": [1, 2, 4, 4], "num_res_blocks": 2,
+        "scaling_factor": 0.18215, "tile_spatial_size": None,
+        "en_de_n_frames_a_time": 16,
+    }
+    with open(d / "config.json", "w") as f:
+        json.dump(cfg, f)
+    save_file(model.state_dict(), str(d / "model.safetensors"))
+    return str(d), model
+
+
+def test_from_pretrained_matches_reference(hf_dir):
+    path, ref = hf_dir
+    from cvvae_tpu.models.video_vae import VideoVAE
+    vae = VideoVAE.from_pretrained(path)
+    assert vae.config.family == "v1"
+    assert vae.config.net.ch == 32
+    assert vae.config.tile_spatial_size is None
+
+    torch.manual_seed(1)
+    x = torch.randn(1, 3, 5, 16, 16)
+    with torch.no_grad():
+        z_ref = ref.encode(x).latent_dist.mode().numpy()
+    z = vae.encode(jnp.asarray(x.numpy()), channels_first=True).mode()
+    np.testing.assert_allclose(np.asarray(z),
+                               z_ref.transpose(0, 2, 3, 4, 1),
+                               atol=5e-4, rtol=1e-3)
+
+
+def test_lightning_ckpt_loading(tmp_path, hf_dir):
+    """state_dict nested under 'state_dict' with extra non-VAE keys —
+    the warm-start contract (lvdm/models/autoencoder.py:68-86)."""
+    _, ref = hf_dir
+    from cvvae_tpu.utils.convert import load_torch_checkpoint_file
+    sd = dict(ref.state_dict())
+    sd["loss.logvar"] = torch.zeros(())          # non-VAE key -> skipped
+    path = tmp_path / "last.ckpt"
+    torch.save({"state_dict": sd, "global_step": 123}, path)
+    tree, skipped = load_torch_checkpoint_file(str(path))
+    assert "loss.logvar" in skipped
+    assert "encoder" in tree and "decoder" in tree
+    k = np.asarray(tree["encoder"]["conv_in"]["kernel"])
+    ref_k = ref.encoder.conv_in.weight.detach().numpy().transpose(2, 3, 4, 1, 0)
+    np.testing.assert_array_equal(k, ref_k)
