@@ -151,7 +151,12 @@ def conv3d(x: jax.Array, params: dict, spec: Conv3DSpec, *,
     elif kernel.dtype != x.dtype:
         kernel = kernel.astype(x.dtype)
 
-    if (spec.modes[0] == "edge" and spec.modes[1] == "zero"
+    if (spec.stride == (1, 1, 1) and spec.kernel == (3, 3, 3)
+            and x.shape[-1] * 27 <= 128):
+        # tiny input channel counts (conv_in: Cin=3) starve the MXU's
+        # 128-deep contraction; im2col to a (27*Cin)-deep matmul instead
+        y = _conv3d_small_cin(x, kernel, spec, precision)
+    elif (spec.modes[0] == "edge" and spec.modes[1] == "zero"
             and spec.modes[2] == "zero" and (spec.pads[0][0] or spec.pads[0][1])
             and x.shape[1] > 1):
         y = _conv3d_edge_time_fast(x, kernel, spec, precision)
@@ -172,6 +177,39 @@ def conv3d(x: jax.Array, params: dict, spec: Conv3DSpec, *,
     if bias is not None:
         y = y + bias.astype(y.dtype)
     return y
+
+
+def _conv3d_small_cin(x: jax.Array, kernel: jax.Array, spec: Conv3DSpec,
+                      precision) -> jax.Array:
+    """3x3x3 conv with few input channels as shifted-stack + matmul.
+
+    A conv with Cin=3 uses 3/128 of the MXU's contraction depth (~30ms
+    for the 0.12-TFLOP encoder conv_in at a 576px tile).  Stacking the
+    27 tap-shifted views into a (27*Cin)-deep feature axis turns it into
+    one well-shaped matmul (~5ms).  The stacked tensor is only 27x the
+    *small-channel* input — cheap next to the 128-channel output.
+    """
+    widths = [(0, 0)]
+    for pad, mode in zip(spec.pads, spec.modes):
+        widths.append(tuple(pad))
+    widths.append((0, 0))
+    zero_widths = [(0, 0) if m == "edge" else w
+                   for w, m in zip(widths[1:4], spec.modes)]
+    edge_widths = [w if m == "edge" else (0, 0)
+                   for w, m in zip(widths[1:4], spec.modes)]
+    if any(p != (0, 0) for p in edge_widths):
+        x = jnp.pad(x, [(0, 0)] + edge_widths + [(0, 0)], mode="edge")
+    if any(p != (0, 0) for p in zero_widths):
+        x = jnp.pad(x, [(0, 0)] + zero_widths + [(0, 0)])
+    kt, kh, kw = spec.kernel
+    to = x.shape[1] - kt + 1
+    ho = x.shape[2] - kh + 1
+    wo = x.shape[3] - kw + 1
+    slices = [x[:, dt:dt + to, dh:dh + ho, dw:dw + wo, :]
+              for dt in range(kt) for dh in range(kh) for dw in range(kw)]
+    z = jnp.concatenate(slices, axis=-1)
+    wmat = kernel.reshape(-1, kernel.shape[-1])
+    return jnp.einsum("bthwk,ko->bthwo", z, wmat, precision=precision)
 
 
 def _conv3d_edge_time_fast(x: jax.Array, kernel: jax.Array, spec: Conv3DSpec,

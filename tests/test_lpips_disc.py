@@ -1,0 +1,115 @@
+"""LPIPS (VGG16 + lin heads) parity vs a torch implementation with shared
+random weights, and discriminator shape/behavior contracts."""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn as nn
+
+import jax
+import jax.numpy as jnp
+
+from cvvae_tpu.models.lpips import load_lpips_params, lpips_distance
+
+
+def build_torch_vgg16_features():
+    """torchvision vgg16().features layout (conv indices
+    0,2,5,7,10,12,14,17,19,21,24,26,28 with ReLU after each conv and
+    MaxPool at 4,9,16,23,30)."""
+    cfg = [64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
+           512, 512, 512, "M", 512, 512, 512, "M"]
+    layers = []
+    c_in = 3
+    for v in cfg:
+        if v == "M":
+            layers.append(nn.MaxPool2d(2, 2))
+        else:
+            layers += [nn.Conv2d(c_in, v, 3, padding=1), nn.ReLU(inplace=False)]
+            c_in = v
+    return nn.Sequential(*layers)
+
+
+class TorchLPIPS(nn.Module):
+    """The reference metric (lpips/loss/lpips.py:12-147) on torch."""
+
+    def __init__(self):
+        super().__init__()
+        self.features = build_torch_vgg16_features()
+        self.taps = [3, 8, 15, 22, 29]  # after relu1_2..relu5_3
+        self.chns = [64, 128, 256, 512, 512]
+        self.lins = nn.ModuleList(
+            [nn.Conv2d(c, 1, 1, bias=False) for c in self.chns])
+        self.register_buffer("shift",
+                             torch.tensor([-0.030, -0.088, -0.188]).view(1, 3, 1, 1))
+        self.register_buffer("scale",
+                             torch.tensor([0.458, 0.448, 0.450]).view(1, 3, 1, 1))
+
+    def feats(self, x):
+        out = []
+        h = (x - self.shift) / self.scale
+        for i, layer in enumerate(self.features):
+            h = layer(h)
+            if i in self.taps:
+                out.append(h)
+        return out
+
+    @staticmethod
+    def norm(x, eps=1e-10):
+        n = torch.sqrt(torch.sum(x ** 2, dim=1, keepdim=True) + eps)
+        return x / (n + eps)
+
+    def forward(self, a, b):
+        fa, fb = self.feats(a), self.feats(b)
+        val = 0
+        for x, y, lin in zip(fa, fb, self.lins):
+            d = (self.norm(x) - self.norm(y)) ** 2
+            val = val + lin(d).mean([2, 3], keepdim=True)
+        return val
+
+
+def test_lpips_parity():
+    torch.manual_seed(0)
+    ref = TorchLPIPS().eval()
+    with torch.no_grad():
+        for lin in ref.lins:
+            lin.weight.abs_()
+    vgg_state = {k: v for k, v in ref.features.state_dict().items()}
+    lin_state = {f"lin{i}.model.1.weight": ref.lins[i].weight.detach()
+                 for i in range(5)}
+    params = load_lpips_params(vgg_state, lin_state)
+
+    torch.manual_seed(1)
+    a = torch.rand(2, 3, 64, 64) * 2 - 1
+    b = torch.rand(2, 3, 64, 64) * 2 - 1
+    with torch.no_grad():
+        ref_val = ref(a, b).numpy().reshape(2)
+    got = lpips_distance(params,
+                         jnp.asarray(a.numpy().transpose(0, 2, 3, 1)),
+                         jnp.asarray(b.numpy().transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(got).reshape(2), ref_val,
+                               atol=1e-5, rtol=1e-4)
+
+
+def test_disc3d_output_contract():
+    """Reference smoke check (lpips/model/model.py:260-271): input
+    (2,3,1,256,256) -> patch logits downsampled 8x."""
+    from cvvae_tpu.models.discriminator import (
+        Disc3DConfig, apply_disc3d, init_disc3d)
+    cfg = Disc3DConfig(ndf=16, n_layers=4, norm_groups=8, half_3d=False)
+    params = init_disc3d(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 1, 64, 64, 3))
+    y = apply_disc3d(params, x, cfg)
+    assert y.shape == (2, 1, 8, 8, 1)
+    assert np.isfinite(np.asarray(y)).all()
+
+
+def test_disc2d_output_contract():
+    from cvvae_tpu.models.discriminator import (
+        Disc2DConfig, apply_disc2d, init_disc2d)
+    cfg = Disc2DConfig(ndf=8, n_layers=3)
+    params = init_disc2d(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 4, 64, 64, 3))
+    y = apply_disc2d(params, x, cfg, train=True)
+    # 4x4 stride-2 x3 then two stride-1: 64 -> 8 - receptive offsets
+    assert y.shape[0] == 1 and y.shape[1] == 4 and y.shape[-1] == 1
+    assert np.isfinite(np.asarray(y)).all()

@@ -82,3 +82,37 @@ def test_single_image_latent_contract(models):
     x = mine.decode(jnp.asarray(z.numpy()), num_frames=1, channels_first=True)
     assert x.shape == x_ref.shape == (1, 3, 1, 64, 64)
     np.testing.assert_allclose(np.asarray(x), x_ref, atol=1e-3, rtol=1e-3)
+
+
+def test_ragged_tile_parity():
+    """Edge tiles smaller than the tile size (64px with 32px tiles at the
+    reference 0.2222 overlap -> a 14px bottom tile) must still match the
+    reference.  (Configs whose latent overlap rounds to 0 crash the
+    reference itself — blend_h's `a[..., -0:]` — so they are invalid.)"""
+    import tests.torch_ref as tr
+    mv = tr.load_reference_module("models.modeling_vae")
+    torch.manual_seed(7)
+    ref = mv.CVVAEModel(
+        ch=32, ch_mult=[1, 2, 4, 4], num_res_blocks=2, z_channels=4,
+        en_de_n_frames_a_time=8, time_n_compress=4, spatial_n_compress=8,
+        tile_spatial_size=32, tile_overlap_ratio=0.2222).eval()
+    params, skipped = convert_state_dict(ref.state_dict())
+    assert not skipped
+    cfg = VideoVAEConfig(
+        family="v1", net=VAE1Config(ch=32, z_channels=4),
+        en_de_n_frames_a_time=8, time_n_compress=4, spatial_n_compress=8,
+        tile_spatial_size=32, tile_overlap_ratio=0.2222)
+    mine = VideoVAE(cfg, params)
+
+    x = torch.randn(1, 3, 5, 64, 40)
+    with torch.no_grad():
+        z_ref = ref.encode(x).latent_dist.mode()
+        x_ref = ref.decode(z_ref).sample.numpy()
+    post = mine.encode(jnp.asarray(x.numpy()), channels_first=True)
+    z = post.mode()
+    np.testing.assert_allclose(np.asarray(z),
+                               z_ref.numpy().transpose(0, 2, 3, 4, 1),
+                               atol=5e-4, rtol=1e-3)
+    x_out = mine.decode(z)
+    np.testing.assert_allclose(np.asarray(x_out).transpose(0, 4, 1, 2, 3),
+                               x_ref, atol=1e-3, rtol=1e-3)
