@@ -151,12 +151,11 @@ def conv3d(x: jax.Array, params: dict, spec: Conv3DSpec, *,
     elif kernel.dtype != x.dtype:
         kernel = kernel.astype(x.dtype)
 
-    if (spec.stride == (1, 1, 1) and spec.kernel == (3, 3, 3)
-            and x.shape[-1] * 27 <= 128):
-        # tiny input channel counts (conv_in: Cin=3) starve the MXU's
-        # 128-deep contraction; im2col to a (27*Cin)-deep matmul instead
-        y = _conv3d_small_cin(x, kernel, spec, precision)
-    elif (spec.modes[0] == "edge" and spec.modes[1] == "zero"
+    # NOTE: an im2col lowering for tiny-Cin convs (_conv3d_small_cin)
+    # measured neutral in isolation but cost ~6% end-to-end at 720p
+    # (the shifted-stack concat breaks XLA's fusion around conv_in), so
+    # it is not enabled; kept + tested for future shapes.
+    if (spec.modes[0] == "edge" and spec.modes[1] == "zero"
             and spec.modes[2] == "zero" and (spec.pads[0][0] or spec.pads[0][1])
             and x.shape[1] > 1):
         y = _conv3d_edge_time_fast(x, kernel, spec, precision)

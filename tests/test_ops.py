@@ -180,3 +180,18 @@ def test_upsample2x_conv_matches_naive():
                                    hw_mode=hw_mode)
         np.testing.assert_allclose(np.asarray(fused), np.asarray(naive),
                                    atol=2e-5, err_msg=str((t_pad, hw_mode)))
+
+
+def test_small_cin_conv_matches_lax():
+    """The im2col small-Cin lowering (kept for future shapes) must match
+    the standard path for every padding variant."""
+    from cvvae_tpu.ops.conv import Conv3DSpec, conv3d, _conv3d_small_cin
+    rs = np.random.RandomState(3)
+    x = jnp.asarray(rs.randn(1, 5, 8, 8, 3).astype(np.float32))
+    k = jnp.asarray(rs.randn(3, 3, 3, 3, 16).astype(np.float32)) * 0.1
+    for spec in (Conv3DSpec.v1_causal(), Conv3DSpec.v1_plain(),
+                 Conv3DSpec.sd3_causal(), Conv3DSpec.sd3_plain()):
+        ref = conv3d(x, {"kernel": k}, spec)
+        got = _conv3d_small_cin(x, k, spec, None)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-5)
