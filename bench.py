@@ -15,6 +15,9 @@ import jax.numpy as jnp
 
 
 def main():
+    from cvvae_tpu.utils.profiling import enable_compilation_cache
+    enable_compilation_cache()
+
     from cvvae_tpu.models.video_vae import VideoVAE, VideoVAEConfig
 
     frames, height, width = 17, 720, 1280

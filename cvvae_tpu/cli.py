@@ -51,6 +51,9 @@ def build_argparser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> dict:
+    from cvvae_tpu.utils.profiling import enable_compilation_cache
+    enable_compilation_cache()
+
     from cvvae_tpu.data import video_io
     from cvvae_tpu.models.video_vae import VideoVAE, config_for_variant
 

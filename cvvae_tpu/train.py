@@ -84,6 +84,9 @@ def build_data(data_cfg: Dict, *, shard_id: int = 0,
 
 
 def main(argv=None):
+    from cvvae_tpu.utils.profiling import enable_compilation_cache
+    enable_compilation_cache()
+
     from cvvae_tpu.parallel.mesh import make_mesh, multihost_init
     from cvvae_tpu.training.trainer import Trainer
     from cvvae_tpu.utils.config import load_configs, save_config

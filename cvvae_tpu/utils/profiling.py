@@ -75,3 +75,14 @@ class Timer:
             lines.append(f"{name:<24s} {total:8.3f}s  x{n}"
                          f"  ({1000 * total / n:.1f} ms/call)")
         return "\n".join(lines)
+
+
+def enable_compilation_cache(path: str = "~/.cache/cvvae_tpu_xla") -> None:
+    """Persistent XLA compilation cache — the tiled 720p programs take
+    minutes to compile; cached reruns are near-instant (verified to work
+    through the axon remote-compile tunnel)."""
+    import os
+    d = os.path.expanduser(path)
+    os.makedirs(d, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", d)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

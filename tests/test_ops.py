@@ -195,3 +195,18 @@ def test_small_cin_conv_matches_lax():
         got = _conv3d_small_cin(x, k, spec, None)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    atol=1e-5)
+
+
+def test_psnr_ssim_metrics():
+    from cvvae_tpu.utils.metrics import psnr, ssim, reconstruction_report
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.rand(2, 3, 32, 32, 3).astype(np.float32) * 2 - 1)
+    assert float(psnr(x, x).min()) > 80
+    np.testing.assert_allclose(np.asarray(ssim(x, x)), 1.0, atol=1e-4)
+    noisy = x + 0.1 * jnp.asarray(rs.randn(*x.shape).astype(np.float32))
+    p = psnr(x, noisy)
+    assert 15 < float(p.mean()) < 35
+    s = ssim(x, noisy)
+    assert 0.0 < float(s.mean()) < 1.0
+    rep = reconstruction_report(x, noisy)
+    assert set(rep) == {"psnr_db", "ssim", "l1"}

@@ -84,3 +84,54 @@ def test_encoder2d_parity(ref2d):
                               t2j(x[:, :, None]), CFG)
     assert m.shape == (2, 1, 4, 4, 32)
     np.testing.assert_allclose(j2t(m)[:, :, 0], m_ref, atol=3e-4, rtol=1e-3)
+
+
+@pytest.fixture(scope="module")
+def ref2d_sd21():
+    """The stock SD2.1 2D nets (lvdm/modules/diffusionmodules/model.py)
+    via a synthetic package tree that bypasses lvdm/__init__."""
+    import importlib
+    from tests.torch_ref import stubs
+    stubs.install()
+    for name, path in [("reflvdm", "/root/reference/lvdm"),
+                       ("reflvdm.modules", "/root/reference/lvdm/modules"),
+                       ("reflvdm.modules.diffusionmodules",
+                        "/root/reference/lvdm/modules/diffusionmodules")]:
+        if name not in sys.modules:
+            pkg = types.ModuleType(name)
+            pkg.__path__ = [path]
+            sys.modules[name] = pkg
+    return importlib.import_module("reflvdm.modules.diffusionmodules.model")
+
+
+CFG21 = vae2d.VAE2DConfig(naming="sd21", latent_channels=4,
+                          block_out_channels=(32, 64, 64, 64),
+                          layers_per_block=2, legacy_quant_conv=True)
+
+
+def test_sd21_decoder_wrapper_parity(ref2d_sd21):
+    torch.manual_seed(2)
+    dec = ref2d_sd21.DecoderWith3DWrapper(
+        ch=32, out_ch=3, ch_mult=(1, 2, 2, 2), num_res_blocks=2,
+        attn_resolutions=[], in_channels=3, resolution=32, z_channels=4,
+        attn_type="vanilla", legacy=True).eval()
+    z = torch.randn(1, 4, 3, 4, 4)
+    with torch.no_grad():
+        x_ref = dec(z).numpy()
+    x = vae2d.apply_decoder2d(to_tree(dec), t2j(z), CFG21)
+    assert x.shape == (1, 3, 32, 32, 3)
+    np.testing.assert_allclose(j2t(x), x_ref, atol=3e-4, rtol=1e-3)
+
+
+def test_sd21_encoder_wrapper_parity(ref2d_sd21):
+    torch.manual_seed(3)
+    enc = ref2d_sd21.EncoderWith3DWrapper(
+        ch=32, out_ch=3, ch_mult=(1, 2, 2, 2), num_res_blocks=2,
+        attn_resolutions=[], in_channels=3, resolution=32, z_channels=4,
+        attn_type="vanilla", legacy=True).eval()
+    x = torch.randn(1, 3, 3, 32, 32)
+    with torch.no_grad():
+        m_ref = enc(x).numpy()
+    m = vae2d.apply_encoder2d(to_tree(enc), t2j(x), CFG21)
+    assert m.shape == (1, 3, 4, 4, 8)
+    np.testing.assert_allclose(j2t(m), m_ref, atol=3e-4, rtol=1e-3)
