@@ -214,6 +214,17 @@ def init_disc3d(key, cfg: Disc3DConfig, dtype=jnp.float32) -> dict:
     return params
 
 
+def get_cvvae_discriminator(key=None, dtype=jnp.float32):
+    """The shipped discriminator (reference factory
+    models/discriminator.py:get_cvvae_discriminator; config
+    cvvae_sd3_constraint_training.yaml:74-82)."""
+    cfg = Disc3DConfig(input_nc=3, ndf=64, n_layers=4, causal=False,
+                       half_3d=False)
+    if key is None:
+        return cfg
+    return cfg, init_disc3d(key, cfg, dtype)
+
+
 def apply_disc3d(params: dict, x: jax.Array, cfg: Disc3DConfig) -> jax.Array:
     """x: (B, T, H, W, C) -> patch logits (B, T', H', W', 1)."""
     h = conv3d(x, params["stem"], cfg.conv_spec(stride=(2, 2, 2)))

@@ -290,10 +290,22 @@ class VideoVAE:
     def _to_cfirst(x: jax.Array) -> jax.Array:
         return jnp.transpose(x, (0, 4, 1, 2, 3))  # BTHWC -> BCTHW
 
-    def encode(self, x: jax.Array, *, channels_first: bool = False
-               ) -> DiagonalGaussian:
-        """Encode video -> posterior.  x: (B,T,H,W,C) or BCTHW."""
+    def encode(self, x: jax.Array, *, channels_first: bool = False,
+               max_batch_size: Optional[int] = None) -> DiagonalGaussian:
+        """Encode video -> posterior.  x: (B,T,H,W,C) or BCTHW.
+
+        ``max_batch_size`` chunks the batch axis (the reference's
+        `en_and_decode_n_samples_a_time` / `max_batch_size`,
+        lvdm/models/diffusion.py:131-161, autoencoder.py:580-592).
+        """
         cfg = self.config
+        if max_batch_size is not None and x.shape[0] > max_batch_size:
+            parts = [self.encode(x[i:i + max_batch_size],
+                                 channels_first=channels_first)
+                     for i in range(0, x.shape[0], max_batch_size)]
+            return DiagonalGaussian(
+                jnp.concatenate([p.mean for p in parts], axis=0),
+                jnp.concatenate([p.logvar for p in parts], axis=0))
         if channels_first:
             if x.ndim == 4:  # (B,C,H,W) or ((b t),C,H,W)
                 if cfg.num_video_frames is not None:
@@ -309,9 +321,15 @@ class VideoVAE:
         return DiagonalGaussian.from_moments(moments)
 
     def decode(self, z: jax.Array, *, num_frames: Optional[int] = None,
-               channels_first: bool = False) -> jax.Array:
+               channels_first: bool = False,
+               max_batch_size: Optional[int] = None) -> jax.Array:
         """Decode latents -> video, same layout convention as input."""
         cfg = self.config
+        if max_batch_size is not None and z.shape[0] > max_batch_size:
+            return jnp.concatenate(
+                [self.decode(z[i:i + max_batch_size], num_frames=num_frames,
+                             channels_first=channels_first)
+                 for i in range(0, z.shape[0], max_batch_size)], axis=0)
         if channels_first:
             if z.ndim == 4:
                 t = num_frames or cfg.num_latent_frames

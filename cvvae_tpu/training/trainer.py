@@ -23,6 +23,10 @@ from cvvae_tpu.training.logging import ImageLogger, MetricsLogger
 from cvvae_tpu.training.optim import get_schedule
 
 
+def engine_params(state: TrainState) -> dict:
+    return state.params
+
+
 class Trainer:
     def __init__(self, engine: TrainingEngine, logdir: str, *,
                  max_steps: int = 200_000,
@@ -98,6 +102,17 @@ class Trainer:
                     self.metrics.log(step,
                                      {k: float(v) for k, v in metrics.items()},
                                      lr=float(self._lr_schedule(step)))
+                if self.images.every and "frames" in batch:
+                    from cvvae_tpu.training.logging import should_log_images
+                    if should_log_images(step, self.images.every):
+                        # extra forward for the recon panels (reference
+                        # ImageLogger cadence, main.py:310-478)
+                        x = batch["frames"]
+                        _, _, _, xrec, x_t = engine._forward(
+                            engine_params(state), x,
+                            jax.random.PRNGKey(step))
+                        self.images.log(step, np.asarray(x),
+                                        np.asarray(xrec[:x.shape[0]]))
                 self.ckpt.maybe_save(step, state)
                 if melk_requested["flag"]:
                     self.ckpt.save_now(step, state)

@@ -116,3 +116,19 @@ def test_ragged_tile_parity():
     x_out = mine.decode(z)
     np.testing.assert_allclose(np.asarray(x_out).transpose(0, 4, 1, 2, 3),
                                x_ref, atol=1e-3, rtol=1e-3)
+
+
+def test_max_batch_size_chunking(models):
+    """Batch-chunked encode/decode == unchunked (the reference's
+    en_and_decode_n_samples_a_time contract)."""
+    _, mine = models
+    x = jnp.asarray(np.random.RandomState(5).randn(3, 5, 16, 16, 3)
+                    .astype(np.float32))
+    p_full = mine.encode(x)
+    p_chunk = mine.encode(x, max_batch_size=2)
+    np.testing.assert_allclose(np.asarray(p_chunk.mean),
+                               np.asarray(p_full.mean), atol=1e-5)
+    z = p_full.mode()
+    np.testing.assert_allclose(
+        np.asarray(mine.decode(z, max_batch_size=1)),
+        np.asarray(mine.decode(z)), atol=1e-5)

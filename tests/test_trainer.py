@@ -100,3 +100,12 @@ def test_config_system(tmp_path):
                                "latent_channels": 4, "norm_num_groups": 4}},
         }})
     assert nested.net.latent_channels == 4
+
+
+def test_fit_writes_image_panels(tmp_path):
+    logdir = str(tmp_path / "imgrun")
+    engine = make_engine()
+    trainer = Trainer(engine, logdir, max_steps=2, ckpt_every=100,
+                      image_every=1, log_every=0)
+    trainer.fit(data_iter())
+    assert glob.glob(os.path.join(logdir, "images", "train_*.png"))
