@@ -47,8 +47,14 @@ class VAE1Config:
     ch_mult: Tuple[int, ...] = (1, 2, 4, 4)
     num_res_blocks: int = 2
     norm_num_groups: int = 32
+    #: resolutions (in the reference's curr_res bookkeeping, starting at
+    #: `resolution`) whose levels get per-block attention
+    #: [models/vae_models.py:744-745, 926-927]
+    attn_resolutions: Tuple[int, ...] = ()
+    resolution: int = 256
     dropout: float = 0.0
     double_z: bool = True
+    use_3d_conv: bool = True
     half_3d: bool = True
     causal_encoder: bool = True
     causal_decoder: bool = False
@@ -64,6 +70,9 @@ class VAE1Config:
 
     def conv_spec(self, causal: bool, k: int = 3, p: int = 1,
                   stride=(1, 1, 1)) -> Conv3DSpec:
+        if not self.use_3d_conv:
+            # Conv2dWithExtraDim everywhere (models/vae_models.py:714-715)
+            return Conv3DSpec.spatial2d(k, p, stride[1:])
         if causal:
             return Conv3DSpec.v1_causal(k, p, stride)
         return Conv3DSpec.v1_plain(k, p, stride)
@@ -211,6 +220,25 @@ def _down_time(cfg: VAE1Config, level: int) -> bool:
     return (level % 2 == 0) if cfg.half_t_mult else True
 
 
+def _encoder_attn_levels(cfg: VAE1Config):
+    res, flags = cfg.resolution, []
+    for i in range(cfg.num_levels):
+        flags.append(res in cfg.attn_resolutions)
+        if i != cfg.num_levels - 1:
+            res //= 2
+    return flags
+
+
+def _decoder_attn_levels(cfg: VAE1Config):
+    res = cfg.resolution // 2 ** (cfg.num_levels - 1)
+    flags = [False] * cfg.num_levels
+    for i in reversed(range(cfg.num_levels)):
+        flags[i] = res in cfg.attn_resolutions
+        if i != 0:
+            res *= 2
+    return flags
+
+
 def _up_time(cfg: VAE1Config, level: int) -> bool:
     return (level % 2 == 1) if cfg.half_t_mult else True
 
@@ -228,6 +256,10 @@ def init_encoder(key, cfg: VAE1Config, dtype=jnp.float32) -> dict:
                                         c_in if i == 0 else c_out, c_out,
                                         causal, dtype))
         lvl = {"block": blocks}
+        if _encoder_attn_levels(cfg)[level]:
+            lvl["attn"] = [init_attn(next(keys), c_out, cfg.encoder_attn,
+                                     dtype)
+                           for _ in range(cfg.num_res_blocks)]
         if level != cfg.num_levels - 1:
             lvl["downsample"] = init_downsample(
                 next(keys), c_out, _down_time(cfg, level), dtype)
@@ -272,8 +304,11 @@ def apply_encoder(params: dict, x: jax.Array, cfg: VAE1Config, *,
     h = conv3d(x, params["conv_in"], cfg.conv_spec(causal))
     for level in range(cfg.num_levels):
         lvl = params["down"][level]
-        for blk in lvl["block"]:
+        for i, blk in enumerate(lvl["block"]):
             h = res(blk, h, next_rng())
+            if "attn" in lvl:
+                h = apply_attn(lvl["attn"][i], h, cfg.encoder_attn,
+                               cfg.norm_num_groups)
         if "downsample" in lvl:
             h = apply_downsample(lvl["downsample"], h, _down_time(cfg, level))
 
@@ -314,6 +349,10 @@ def init_decoder(key, cfg: VAE1Config, dtype=jnp.float32) -> dict:
                                         block_out, causal, dtype))
         block_in = block_out
         lvl = {"block": blocks}
+        if _decoder_attn_levels(cfg)[level]:
+            lvl["attn"] = [init_attn(next(keys), block_out, cfg.decoder_attn,
+                                     dtype)
+                           for _ in range(cfg.num_res_blocks + 1)]
         if level != 0:
             lvl["upsample"] = init_upsample(next(keys), block_out,
                                             _up_time(cfg, level), causal, dtype)
@@ -356,8 +395,11 @@ def apply_decoder(params: dict, z: jax.Array, cfg: VAE1Config, *,
 
     for level in reversed(range(cfg.num_levels)):
         lvl = params["up"][level]
-        for blk in lvl["block"]:
+        for i, blk in enumerate(lvl["block"]):
             h = res(blk, h, next_rng())
+            if "attn" in lvl:
+                h = apply_attn(lvl["attn"][i], h, cfg.decoder_attn,
+                               cfg.norm_num_groups)
         if "upsample" in lvl:
             h = apply_upsample(lvl["upsample"], h, _up_time(cfg, level), causal)
 

@@ -304,6 +304,10 @@ class TrainingEngine:
                 state.params, state.disc_params, batch, rng, state.step)
             grads = self._mask_frozen(dict(grads))
             updates, opt_g = self.opt_g.update(grads, state.opt_g, state.params)
+            # mask updates too: AdamW's decoupled weight decay moves
+            # parameters even at zero gradient (the reference freezes by
+            # excluding from the optimizer, autoencoder.py:223-234)
+            updates = self._mask_frozen(dict(updates))
             params = optax.apply_updates(state.params, updates)
             ema = state.ema
             if ema is not None:

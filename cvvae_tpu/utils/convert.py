@@ -159,6 +159,9 @@ def _config_from_json(cfg_json: dict):
         ch=cfg_json.get("ch", 128),
         ch_mult=tuple(cfg_json.get("ch_mult", (1, 2, 4, 4))),
         num_res_blocks=cfg_json.get("num_res_blocks", 2),
+        attn_resolutions=tuple(cfg_json.get("attn_resolutions", ())),
+        resolution=cfg_json.get("resolution", 256),
+        use_3d_conv=cfg_json.get("use_3d_conv", True),
         dropout=cfg_json.get("dropout", 0.0),
         double_z=cfg_json.get("double_z", True),
         half_3d=cfg_json.get("half_3d", True),

@@ -93,3 +93,53 @@ def test_causal_conv_is_causal():
     np.testing.assert_allclose(np.asarray(y1[:, :5]), np.asarray(y2[:, :5]),
                                atol=1e-6)
     assert np.abs(np.asarray(y1[:, 5:]) - np.asarray(y2[:, 5:])).max() > 1.0
+
+
+def test_encoder_parity_2d_only(ref):
+    """use_3d_conv=False: every conv is a per-frame 2D conv
+    (models/vae_models.py:714-715)."""
+    torch.manual_seed(4)
+    enc = ref.Encoder(
+        ch=32, out_ch=3, ch_mult=(1, 2, 4, 4), num_res_blocks=1,
+        attn_resolutions=[], dropout=0.0, in_channels=3, z_channels=4,
+        double_z=True, attn_type="vanilla-xformers", use_3d_conv=False,
+        half_3d=True, causal=True).eval()
+    x = torch.randn(1, 3, 5, 16, 16)
+    with torch.no_grad():
+        y_ref = enc(x).numpy()
+    cfg2d = vae_v1.VAE1Config(ch=32, z_channels=4, num_res_blocks=1,
+                              use_3d_conv=False)
+    y = vae_v1.apply_encoder(to_tree(enc), t2j(x), cfg2d)
+    np.testing.assert_allclose(j2t(y), y_ref, atol=ATOL, rtol=1e-3)
+
+
+def test_level_attention_parity(ref):
+    """attn_resolutions non-empty: per-block attention at matching levels
+    (models/vae_models.py:744-745, 926-927)."""
+    torch.manual_seed(5)
+    enc = ref.Encoder(
+        ch=32, out_ch=3, ch_mult=(1, 2, 4, 4), num_res_blocks=1,
+        attn_resolutions=[8], resolution=16, dropout=0.0, in_channels=3,
+        z_channels=4, double_z=True, attn_type="vanilla-xformers",
+        use_3d_conv=True, half_3d=True, causal=True).eval()
+    x = torch.randn(1, 3, 5, 16, 16)
+    with torch.no_grad():
+        y_ref = enc(x).numpy()
+    cfg = vae_v1.VAE1Config(ch=32, z_channels=4, num_res_blocks=1,
+                            attn_resolutions=(8,), resolution=16)
+    tree = to_tree(enc)
+    assert "attn" in tree["down"][1]  # level1: curr_res 8
+    y = vae_v1.apply_encoder(tree, t2j(x), cfg)
+    np.testing.assert_allclose(j2t(y), y_ref, atol=ATOL, rtol=1e-3)
+
+    torch.manual_seed(6)
+    dec = ref.Decoder(
+        ch=32, out_ch=3, ch_mult=(1, 2, 4, 4), num_res_blocks=1,
+        attn_resolutions=[8], resolution=16, dropout=0.0, in_channels=3,
+        z_channels=4, double_z=True, attn_type="spatial-temporal-xformer",
+        use_3d_conv=True, half_3d=True, causal=False).eval()
+    z = torch.randn(1, 4, 2, 2, 2)
+    with torch.no_grad():
+        x_ref = dec(z).numpy()
+    xj = vae_v1.apply_decoder(to_tree(dec), t2j(z), cfg)
+    np.testing.assert_allclose(j2t(xj), x_ref, atol=ATOL, rtol=1e-3)

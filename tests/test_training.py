@@ -122,3 +122,32 @@ def test_schedule_matches_reference_formula():
                                * math.cos(math.pi * 1.0 * progress)))
     for s in (0, 500, 1000, 5000, 30000, 59999, 60000):
         assert abs(float(sched(s)) - ref(s)) < 1e-6, s
+
+
+def test_frozen_modules_not_updated():
+    """Reference `trainable` freeze modes (autoencoder.py:223-234)."""
+    import dataclasses
+    eng = tiny_engine("none")
+    eng.cfg = dataclasses.replace(eng.cfg, frozen_modules=("encoder",))
+    import jax
+    eng._jitted_step = jax.jit(eng._train_step)  # re-jit with new cfg
+    state = eng.init_state(jax.random.PRNGKey(0))
+    batch = {"frames": jax.random.normal(jax.random.PRNGKey(1),
+                                         (1, 5, 16, 16, 3))}
+    s1, _ = eng.train_step(state, batch, jax.random.PRNGKey(2))
+    assert leaf_equal(s1.params["encoder"], state.params["encoder"])
+    assert not leaf_equal(s1.params["decoder"], state.params["decoder"])
+
+
+def test_ema_updates():
+    eng = tiny_engine("none")
+    import dataclasses, jax
+    eng.cfg = dataclasses.replace(eng.cfg, ema_decay=0.99)
+    eng._jitted_step = jax.jit(eng._train_step)
+    state = eng.init_state(jax.random.PRNGKey(0))
+    assert state.ema is not None
+    batch = {"frames": jax.random.normal(jax.random.PRNGKey(1),
+                                         (1, 5, 16, 16, 3))}
+    s1, _ = eng.train_step(state, batch, jax.random.PRNGKey(2))
+    assert int(s1.ema.num_updates) == 1
+    assert not leaf_equal(s1.ema.shadow, state.ema.shadow)
