@@ -160,6 +160,33 @@ class VideoVAE:
         params = jax.tree.map(lambda a: a.astype(dtype), self.params)
         return VideoVAE(self.config, params)
 
+    def with_mesh(self, mesh, axis: str = "data") -> "VideoVAE":
+        """Multi-chip inference: shard the H axis of every net call over
+        ``mesh`` (params replicated).  XLA's SPMD partitioner inserts the
+        conv halo exchanges over ICI — distributed spatial decode with
+        exact seams, beyond the reference's single-device tiling
+        (SURVEY §2.3).  Tiling/chunking semantics are unchanged."""
+        from cvvae_tpu.parallel.mesh import replicated, spatial_sharding
+        other = VideoVAE(self.config, jax.tree.map(
+            lambda a: jax.device_put(a, replicated(mesh)), self.params))
+        sharded = spatial_sharding(mesh, axis)
+        enc, dec = other._enc_fn, other._dec_fn
+        other._enc = jax.jit(enc, in_shardings=(None, sharded),
+                             out_shardings=sharded)
+        other._dec = jax.jit(dec, in_shardings=(None, sharded),
+                             out_shardings=sharded)
+        other._sp_enc = jax.jit(
+            lambda p, x: other._spatial_tiled(
+                x, lambda v: enc(p, v), other.config.pixel_tile_size,
+                other.config.latent_tile_size),
+            in_shardings=(None, sharded), out_shardings=sharded)
+        other._sp_dec = jax.jit(
+            lambda p, z: other._spatial_tiled(
+                z, lambda v: dec(p, v), other.config.latent_tile_size,
+                other.config.pixel_tile_size),
+            in_shardings=(None, sharded), out_shardings=sharded)
+        return other
+
     # ------------------------------------------------------------------
     # raw per-window nets
     # ------------------------------------------------------------------

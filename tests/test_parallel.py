@@ -77,3 +77,27 @@ def test_spatial_sharding_matches_unsharded():
     y = enc(params, xs)
     np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
                                atol=2e-5, rtol=1e-4)
+
+
+def test_videovae_with_mesh_matches_single_device():
+    """VideoVAE.with_mesh: spatially-sharded encode/decode == unsharded."""
+    from cvvae_tpu.models.vae_v1 import VAE1Config
+    from cvvae_tpu.models.video_vae import VideoVAE, VideoVAEConfig
+    cfg = VideoVAEConfig(
+        family="v1",
+        net=VAE1Config(ch=8, ch_mult=(1, 2, 4, 4), num_res_blocks=1,
+                       z_channels=4, norm_num_groups=4),
+        tile_spatial_size=None)
+    vae = VideoVAE.from_config(cfg, seed=0)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 5, 64, 32, 3))
+    z_ref = vae.encode(x).mode()
+    x_ref = vae.decode(z_ref)
+
+    mesh = make_mesh(8)
+    svae = vae.with_mesh(mesh)
+    z = svae.encode(x).mode()
+    np.testing.assert_allclose(np.asarray(z), np.asarray(z_ref),
+                               atol=2e-5, rtol=1e-4)
+    x_out = svae.decode(z)
+    np.testing.assert_allclose(np.asarray(x_out), np.asarray(x_ref),
+                               atol=5e-5, rtol=1e-4)
