@@ -99,8 +99,11 @@ class Trainer:
                 step = int(state.step)
 
                 if self.log_every and step % self.log_every == 0:
+                    # reference key convention: split-prefixed scalars
+                    # (discriminator_loss.py:517-558)
                     self.metrics.log(step,
-                                     {k: float(v) for k, v in metrics.items()},
+                                     {f"train/{k}": float(v)
+                                      for k, v in metrics.items()},
                                      lr=float(self._lr_schedule(step)))
                 if self.images.every and "frames" in batch:
                     from cvvae_tpu.training.logging import should_log_images

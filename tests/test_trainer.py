@@ -49,7 +49,7 @@ def test_fit_logs_and_checkpoints(tmp_path):
     assert os.path.exists(csv_path)
     rows = open(csv_path).read().strip().splitlines()
     assert len(rows) >= 7  # header + 6 steps
-    assert "loss/total" in rows[0] and "lr" in rows[0]
+    assert "train/loss/total" in rows[0] and "lr" in rows[0]
 
     assert glob.glob(os.path.join(logdir, "rolling", "*"))
     assert glob.glob(os.path.join(logdir, "permanent", "*"))

@@ -151,3 +151,16 @@ def test_ema_updates():
     s1, _ = eng.train_step(state, batch, jax.random.PRNGKey(2))
     assert int(s1.ema.num_updates) == 1
     assert not leaf_equal(s1.ema.shadow, state.ema.shadow)
+
+
+def test_single_frame_image_batch():
+    """The shipped recipe alternates image (T=1) and video batches
+    (yaml data: image bs 8 + webvid 17f); T=1 must train."""
+    eng = tiny_engine("latent")
+    state = eng.init_state(jax.random.PRNGKey(0))
+    batch = {"frames": jax.random.normal(jax.random.PRNGKey(1),
+                                         (2, 1, 16, 16, 3))}
+    s1, m1 = eng.train_step(state, batch, jax.random.PRNGKey(2))
+    assert np.isfinite(float(m1["loss/total"]))
+    s2, m2 = eng.train_step(s1, batch, jax.random.PRNGKey(3))
+    assert np.isfinite(float(m2["loss/disc"]))
