@@ -18,7 +18,6 @@ reference's CTHW contract is one transpose away.
 
 from __future__ import annotations
 
-import io
 import os
 import tempfile
 from typing import Dict, Optional, Tuple

@@ -18,7 +18,6 @@ weights, [model.py:17-23]).
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

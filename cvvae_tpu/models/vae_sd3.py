@@ -33,7 +33,7 @@ from cvvae_tpu.ops.activations import silu
 from cvvae_tpu.ops.attention import dense, dense_init, spatial_self_attention
 from cvvae_tpu.ops.conv import Conv3DSpec, conv3d, conv_init
 from cvvae_tpu.ops.norm import group_norm, group_norm_per_frame, norm_init
-from cvvae_tpu.ops.resample import nearest_upsample_2x_spatial, temporal_interleave
+from cvvae_tpu.ops.resample import temporal_interleave
 
 NORM_EPS = 1e-6
 

@@ -22,11 +22,9 @@ on encode/decode accepts/returns the reference's (B, C, T, H, W).
 from __future__ import annotations
 
 import dataclasses
-import json
 import math
 import os
-from functools import partial
-from typing import Any, Optional, Tuple, Union
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp

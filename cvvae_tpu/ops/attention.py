@@ -19,7 +19,6 @@ frame; ``query_chunk_size`` bounds that via a lax.scan over query blocks
 from __future__ import annotations
 
 import math
-from functools import partial
 from typing import Optional
 
 import jax

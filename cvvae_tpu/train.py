@@ -16,7 +16,6 @@ from __future__ import annotations
 import argparse
 import datetime
 import os
-import sys
 from typing import Dict, Iterator
 
 import jax

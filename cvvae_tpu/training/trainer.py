@@ -10,8 +10,7 @@ main.py:881-900), and checkpoint-on-exception (main.py:916-919).
 from __future__ import annotations
 
 import signal
-import time
-from typing import Callable, Iterator, Optional
+from typing import Iterator, Optional
 
 import jax
 import jax.numpy as jnp

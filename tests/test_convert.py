@@ -2,7 +2,6 @@
 Lightning-style state dicts."""
 
 import json
-import os
 
 import numpy as np
 import pytest

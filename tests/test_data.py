@@ -3,7 +3,6 @@ decoders, transforms — against synthetic shards built on the fly."""
 
 import csv
 import io
-import os
 import tarfile
 
 import numpy as np

@@ -4,7 +4,6 @@ bit-for-bit (same chunk semantics, bounded memory)."""
 import numpy as np
 import pytest
 
-import jax
 import jax.numpy as jnp
 
 from cvvae_tpu.models.vae_v1 import VAE1Config
@@ -75,3 +74,16 @@ def test_streaming_roundtrip_file(vae, tmp_path):
     cap = cv2.VideoCapture(str(out))
     assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == 13
     cap.release()
+
+
+def test_streaming_encode_chunk_batched(vae):
+    """chunk_batch>1 stacks windows on the batch axis — identical
+    latents, fewer/larger device calls."""
+    rs = np.random.RandomState(2)
+    frames_u8 = rs.randint(0, 255, (33, 16, 16, 3), np.uint8)  # 4 windows
+    z1 = jnp.concatenate(list(streaming_encode(
+        vae, iter(frames_u8), dtype=jnp.float32)), axis=1)
+    z2 = jnp.concatenate(list(streaming_encode(
+        vae, iter(frames_u8), dtype=jnp.float32, chunk_batch=3)), axis=1)
+    assert z1.shape == z2.shape == (1, 9, 2, 2, 4)
+    np.testing.assert_allclose(np.asarray(z2), np.asarray(z1), atol=1e-5)

@@ -2,7 +2,6 @@
 checkpoints roll, and resume restores the step counter."""
 
 import glob
-import itertools
 import os
 
 import numpy as np
