@@ -87,3 +87,15 @@ def test_streaming_encode_chunk_batched(vae):
         vae, iter(frames_u8), dtype=jnp.float32, chunk_batch=3)), axis=1)
     assert z1.shape == z2.shape == (1, 9, 2, 2, 4)
     np.testing.assert_allclose(np.asarray(z2), np.asarray(z1), atol=1e-5)
+
+
+def test_streaming_encode_chunk_batched_ragged_tail(vae):
+    """A short final window (different shape) must flush separately."""
+    rs = np.random.RandomState(3)
+    frames_u8 = rs.randint(0, 255, (21, 16, 16, 3), np.uint8)  # 9,9,5
+    z1 = jnp.concatenate(list(streaming_encode(
+        vae, iter(frames_u8), dtype=jnp.float32)), axis=1)
+    z2 = jnp.concatenate(list(streaming_encode(
+        vae, iter(frames_u8), dtype=jnp.float32, chunk_batch=2)), axis=1)
+    assert z1.shape == z2.shape == (1, 6, 2, 2, 4)
+    np.testing.assert_allclose(np.asarray(z2), np.asarray(z1), atol=1e-5)
