@@ -51,7 +51,7 @@ def build_argparser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> dict:
-    from cvvae_tpu.utils.profiling import enable_compilation_cache
+    from cvvae_tpu.utils.profiling import enable_compilation_cache, sync
     enable_compilation_cache()
 
     from cvvae_tpu.data import video_io
@@ -75,18 +75,20 @@ def main(argv=None) -> dict:
     x_np = video_io.normalize(frames)
     x = jnp.asarray(x_np, dtype=dtype)[None]  # (1, T, H, W, C)
 
+    # Timing barrier: block_until_ready() does NOT wait for remote
+    # execution under the axon tunnel — sync() forces a scalar fetch.
     t0 = time.perf_counter()
     posterior = vae.encode(x)
     if args.mode == "sample":
         z = posterior.sample(jax.random.PRNGKey(args.seed))
     else:
         z = posterior.mode()
-    z.block_until_ready()
+    sync(z)
     t_encode = time.perf_counter() - t0
 
     t0 = time.perf_counter()
     x_rec = vae.decode(z)
-    x_rec.block_until_ready()
+    sync(x_rec)
     t_decode = time.perf_counter() - t0
 
     rec_np = np.asarray(x_rec[0].astype(jnp.float32))

@@ -30,13 +30,18 @@ def build_engine(model_cfg: Dict):
     kwargs = {}
     ckpt = model_cfg.get("ckpt_path")
     frozen = model_cfg.get("frozen_ckpts", {})
-    engine = TrainingEngine(engine_cfg, seed=model_cfg.get("seed", 0), **kwargs)
+    # Pretrained LPIPS must be loaded BEFORE the engine is built: with
+    # perceptual_weight > 0 and no weights, the engine refuses to start
+    # (random-init LPIPS is a meaningless training target) unless the
+    # config explicitly opts in with allow_random_lpips: true.
     if frozen.get("lpips"):
         import torch
         from cvvae_tpu.models.lpips import load_lpips_params
         blob = torch.load(frozen["lpips"], map_location="cpu")
-        engine.frozen["lpips"] = load_lpips_params(
-            blob["vgg"], blob["lins"])
+        kwargs["lpips_params"] = load_lpips_params(blob["vgg"], blob["lins"])
+    if model_cfg.get("allow_random_lpips"):
+        kwargs["allow_random_lpips"] = True
+    engine = TrainingEngine(engine_cfg, seed=model_cfg.get("seed", 0), **kwargs)
     for name in ("constraint_decoder", "constraint_encoder"):
         if frozen.get(name):
             from cvvae_tpu.utils.convert import load_torch_checkpoint_file

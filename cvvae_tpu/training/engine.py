@@ -25,6 +25,7 @@ by the mesh partitioner.
 from __future__ import annotations
 
 import dataclasses
+import warnings
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
@@ -102,11 +103,26 @@ class TrainingEngine:
     def __init__(self, cfg: EngineConfig, *, lpips_params: Optional[dict] = None,
                  constraint_decoder_params: Optional[dict] = None,
                  constraint_encoder_params: Optional[dict] = None,
+                 allow_random_lpips: bool = False,
                  seed: int = 0):
         self.cfg = cfg
         key = jax.random.PRNGKey(seed)
         k_lp, k_cd, k_ce = jax.random.split(key, 3)
         if lpips_params is None and cfg.loss.perceptual_weight > 0:
+            # The reference downloads + md5-checks pretrained LPIPS
+            # weights (lpips/util.py:16-43) — it never optimises against
+            # an uncalibrated metric.  Refuse to silently do so here.
+            if not allow_random_lpips:
+                raise ValueError(
+                    "perceptual_weight > 0 but no pretrained LPIPS params "
+                    "were given: training would optimise a random-init VGG "
+                    "metric. Pass lpips_params=load_lpips_params(...) or "
+                    "explicitly opt in with allow_random_lpips=True "
+                    "(smoke tests only).")
+            warnings.warn(
+                "LPIPS is RANDOM-INIT (allow_random_lpips=True): the "
+                "perceptual term is uncalibrated — smoke-test use only.",
+                stacklevel=2)
             lpips_params = init_lpips(k_lp)
         self.frozen = {"lpips": lpips_params}
         if cfg.constraint in ("latent", "all"):
