@@ -212,7 +212,8 @@ class TrainingEngine:
         """Discriminator warm-up gate (discriminator_loss.py:268,310)."""
         return (step >= self.cfg.loss.disc_start).astype(jnp.float32)
 
-    def _g_loss(self, params, disc_params, batch, rng, step):
+    def _g_loss(self, params, disc_params, batch, rng, step, *,
+                with_aux: bool = False):
         cfg, loss_cfg = self.cfg, self.cfg.loss
         x = batch["frames"]
         rng_s, rng_t = jax.random.split(rng)
@@ -273,6 +274,9 @@ class TrainingEngine:
                  + loss_cfg.kl_weight * kl_loss)
         log.update({"loss/total": total, "loss/nll": nll,
                     "loss/g": g_loss * gate, "scalars/d_weight": d_weight})
+        if with_aux:
+            log["_aux"] = {"xrec": xrec, "x_target": x_target,
+                           "logits_fake": logits_fake}
         return total, log
 
     def _d_loss(self, disc_params, params, batch, rng, step):
@@ -287,6 +291,41 @@ class TrainingEngine:
         log = {"loss/disc": d, "logits/real": jnp.mean(logits_real),
                "logits/fake": jnp.mean(logits_fake)}
         return d, log
+
+    def _val_metrics(self, params, disc_params, batch, rng, step):
+        """Full validation log dict: the complete G-loss dict (the same
+        loss/*, scalars/* keys as training — the reference's
+        _validation_step runs the loss with optimizer_idx=0 then 1,
+        autoencoder.py:387-443), the D metrics, and PSNR/SSIM
+        (utils/metrics.py; reported in the paper).
+
+        No parameters are updated; callers pass raw or EMA params."""
+        from cvvae_tpu.utils.metrics import psnr, ssim
+
+        total, log = self._g_loss(params, disc_params, batch, rng, step,
+                                  with_aux=True)
+        aux = log.pop("_aux")
+        xrec, x_target = aux["xrec"], aux["x_target"]
+
+        # D metrics on the same reconstruction (optimizer_idx=1 pass)
+        loss_cfg = self.cfg.loss
+        logits_real = apply_disc3d(disc_params, x_target, self.cfg.disc)
+        fn = hinge_d_loss if loss_cfg.disc_loss == "hinge" else vanilla_d_loss
+        d = (loss_cfg.disc_factor
+             * fn(logits_real, aux["logits_fake"]) * self._gate(step))
+        log.update({"loss/disc": d, "logits/real": jnp.mean(logits_real),
+                    "logits/fake": jnp.mean(aux["logits_fake"])})
+
+        log["psnr_db"] = jnp.mean(psnr(x_target, xrec))
+        log["ssim"] = jnp.mean(ssim(x_target, xrec))
+        metrics = {k: jnp.asarray(v, jnp.float32) for k, v in log.items()}
+        return metrics, xrec
+
+    def val_step(self, params, disc_params, batch, rng, step):
+        """Jitted validation metrics; returns (metrics dict, xrec)."""
+        if not hasattr(self, "_jitted_val"):
+            self._jitted_val = jax.jit(self._val_metrics)
+        return self._jitted_val(params, disc_params, batch, rng, step)
 
     # ------------------------------------------------------------------
     # steps

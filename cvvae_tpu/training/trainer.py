@@ -132,31 +132,78 @@ class Trainer:
     # ------------------------------------------------------------------
 
     def validate(self, state: TrainState, val_data: Iterator,
-                 step: int, n_batches: int = 1) -> dict:
-        """Reconstruction eval + image panels; runs with raw weights and,
-        when EMA is enabled, a second pass with shadow weights
-        (autoencoder.py:380-385)."""
-        engine = self.engine
-        cfg = engine.cfg
+                 step: int, n_batches: int = 1, split: str = "val") -> dict:
+        """Full-dict reconstruction eval + image panels.
 
-        def recon(params, batch, rng):
-            posterior, z, _, xrec, _ = engine._forward(params, batch, rng)
-            return xrec
+        Mirrors the reference's validation_step (autoencoder.py:380-443):
+        the complete G loss dict (loss/total, loss/nll, loss/rec, loss/g,
+        scalars/*) plus the D pass (loss/disc, logits/*) on each val
+        batch, computed twice — with raw weights and, when EMA is
+        enabled, with shadow weights under a ``_ema`` postfix — plus
+        PSNR/SSIM (reported in the paper, utils/metrics.py).
+        """
+        engine = self.engine
+
+        passes = [("", state.params)]
+        if state.ema is not None:  # ema_scope() second pass
+            passes.append(("_ema", state.ema.shadow))
 
         out = {}
-        for tag, params in [("", state.params)] + (
-                [("_ema", state.ema.shadow)] if state.ema is not None else []):
-            losses = []
+        for tag, params in passes:
+            sums, count = {}, 0
             for i in range(n_batches):
                 batch = next(val_data)
                 x = jnp.asarray(batch["frames"])
-                xrec = recon(params, x, jax.random.PRNGKey(i))
-                xrec = xrec[:x.shape[0]]
-                losses.append(float(jnp.mean(jnp.abs(
-                    x.astype(jnp.float32) - xrec.astype(jnp.float32)))))
+                metrics, xrec = engine.val_step(
+                    params, state.disc_params, {"frames": x},
+                    jax.random.PRNGKey(i), state.step)
+                for k, v in metrics.items():
+                    sums[k] = sums.get(k, 0.0) + float(v)
+                count += 1
                 if i == 0:
-                    self.images.log(step, np.asarray(x), np.asarray(xrec),
-                                    split=f"val{tag}")
-            out[f"val{tag}/loss/rec"] = float(np.mean(losses))
+                    self.images.log(step, np.asarray(x),
+                                    np.asarray(xrec[:x.shape[0]]),
+                                    split=f"{split}{tag}")
+            out.update({f"{split}{tag}/{k}": v / count
+                        for k, v in sums.items()})
+        self.metrics.log(step, out)
+        return out
+
+    def test(self, state: TrainState, test_data: Iterator,
+             n_batches: int = 8) -> dict:
+        """Test-split runner (the reference runs trainer.test after fit,
+        main.py:920-921) — same metric dict under ``test/`` keys."""
+        return self.validate(state, test_data, int(state.step),
+                             n_batches=n_batches, split="test")
+
+    def validate_tiled(self, state: TrainState, clips: Iterator, step: int,
+                       n_clips: int = 1, tile_spatial_size: int = 576,
+                       tile_overlap_ratio: float = 0.2222,
+                       split: str = "val_tiled") -> dict:
+        """Full-resolution eval through the production tiled path
+        (temporal chunking + spatial tiles), like the reference's
+        Autoencoding3DEngine val on large clips (autoencoder.py:858-966).
+        Reports PSNR/SSIM/L1 (full loss terms need net-sized windows)."""
+        from cvvae_tpu.models.video_vae import VideoVAE, VideoVAEConfig
+        from cvvae_tpu.utils.metrics import reconstruction_report
+
+        cfg = self.engine.cfg
+        vcfg = VideoVAEConfig(family=cfg.family, net=cfg.net,
+                              tile_spatial_size=tile_spatial_size,
+                              tile_overlap_ratio=tile_overlap_ratio)
+        vae = VideoVAE(vcfg, {"encoder": state.params["encoder"],
+                              "decoder": state.params["decoder"]})
+        sums, count = {}, 0
+        for i in range(n_clips):
+            batch = next(clips)
+            x = jnp.asarray(batch["frames"])
+            xrec = vae.reconstruct(x)
+            for k, v in reconstruction_report(x, xrec).items():
+                sums[k] = sums.get(k, 0.0) + v
+            count += 1
+            if i == 0:
+                self.images.log(step, np.asarray(x), np.asarray(xrec),
+                                split=split)
+        out = {f"{split}/{k}": v / count for k, v in sums.items()}
         self.metrics.log(step, out)
         return out

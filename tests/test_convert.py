@@ -36,6 +36,7 @@ def hf_dir(tmp_path_factory):
     return str(d), model
 
 
+@pytest.mark.slow
 def test_from_pretrained_matches_reference(hf_dir):
     path, ref = hf_dir
     from cvvae_tpu.models.video_vae import VideoVAE

@@ -90,6 +90,7 @@ def test_lpips_parity():
                                atol=1e-5, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_disc3d_output_contract():
     """Reference smoke check (lpips/model/model.py:260-271): input
     (2,3,1,256,256) -> patch logits downsampled 8x."""
@@ -103,6 +104,7 @@ def test_disc3d_output_contract():
     assert np.isfinite(np.asarray(y)).all()
 
 
+@pytest.mark.slow
 def test_disc2d_output_contract():
     from cvvae_tpu.models.discriminator import (
         Disc2DConfig, apply_disc2d, init_disc2d)

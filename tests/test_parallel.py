@@ -16,11 +16,13 @@ def test_mesh_has_8_devices():
     assert len(jax.devices()) == 8, jax.devices()
 
 
+@pytest.mark.slow
 def test_graft_dryrun_multichip():
     import __graft_entry__
     __graft_entry__.dryrun_multichip(8)
 
 
+@pytest.mark.slow
 def test_data_parallel_matches_single_device():
     """A DP step over 8 devices must equal the same step on one device
     (the partitioner's grad all-reduce == the single-chip mean)."""
@@ -60,6 +62,7 @@ def test_data_parallel_matches_single_device():
                                    atol=1e-5, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_spatial_sharding_matches_unsharded():
     """H-axis sharded encode == unsharded encode (XLA halo exchange)."""
     from cvvae_tpu.models.vae_sd3 import VAESD3Config, apply_encoder, init_encoder
@@ -79,6 +82,7 @@ def test_spatial_sharding_matches_unsharded():
                                atol=2e-5, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_videovae_with_mesh_matches_single_device():
     """VideoVAE.with_mesh: spatially-sharded encode/decode == unsharded."""
     from cvvae_tpu.models.vae_v1 import VAE1Config

@@ -42,6 +42,7 @@ def ref():
     return tr.load_reference_module("models.vae_models3d_sd3")
 
 
+@pytest.mark.slow
 def test_encoder3d_parity(ref):
     torch.manual_seed(0)
     enc = ref.Encoder3D(
@@ -57,6 +58,7 @@ def test_encoder3d_parity(ref):
     np.testing.assert_allclose(j2t(y), y_ref, atol=ATOL, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_decoder3d_parity(ref):
     torch.manual_seed(1)
     dec = ref.Decoder3D(

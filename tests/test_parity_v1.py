@@ -44,6 +44,7 @@ def ref():
     return tr.load_reference_module("models.vae_models")
 
 
+@pytest.mark.slow
 def test_encoder_parity(ref):
     torch.manual_seed(0)
     enc = ref.Encoder(
@@ -60,6 +61,7 @@ def test_encoder_parity(ref):
     np.testing.assert_allclose(j2t(y), y_ref, atol=ATOL, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_decoder_parity(ref):
     torch.manual_seed(1)
     dec = ref.Decoder(

@@ -69,6 +69,7 @@ def test_decoder2d_wrapper_parity(ref2d):
     np.testing.assert_allclose(j2t(x), x_ref, atol=3e-4, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_encoder2d_parity(ref2d):
     torch.manual_seed(1)
     enc = ref2d.Encoder(

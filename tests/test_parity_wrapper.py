@@ -40,6 +40,7 @@ def models():
     return ref, mine
 
 
+@pytest.mark.slow
 def test_tiled_encode_decode_parity(models):
     ref, mine = models
     torch.manual_seed(1)
@@ -60,6 +61,7 @@ def test_tiled_encode_decode_parity(models):
                                x_ref, atol=1e-3, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_posterior_stats_parity(models):
     ref, mine = models
     torch.manual_seed(2)
@@ -71,6 +73,7 @@ def test_posterior_stats_parity(models):
         np.asarray(post.kl()), post_ref.kl().numpy(), rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_single_image_latent_contract(models):
     """decode(z, num_frames=1) on 4D latents — the SD2.1 pipeline contract
     (pipelines/pipeline_stable_diffusion.py:1046-1048)."""
@@ -84,6 +87,7 @@ def test_single_image_latent_contract(models):
     np.testing.assert_allclose(np.asarray(x), x_ref, atol=1e-3, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_ragged_tile_parity():
     """Edge tiles smaller than the tile size (64px with 32px tiles at the
     reference 0.2222 overlap -> a 14px bottom tile) must still match the
@@ -118,6 +122,7 @@ def test_ragged_tile_parity():
                                x_ref, atol=1e-3, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_max_batch_size_chunking(models):
     """Batch-chunked encode/decode == unchunked (the reference's
     en_and_decode_n_samples_a_time contract)."""

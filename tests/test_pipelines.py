@@ -44,6 +44,7 @@ def test_euler_sigmas_monotonic():
     assert (np.diff(s) <= 0).all()
 
 
+@pytest.mark.slow
 def test_pipeline_end_to_end_shapes(vae):
     def denoiser(latents, t, cond):
         return latents * 0.1  # dummy eps model
@@ -69,6 +70,7 @@ def test_pipeline_cfg_doubles_batch(vae):
     assert calls["batch"] == 2
 
 
+@pytest.mark.slow
 def test_decode_latents_contract(vae):
     """decode(latents / scaling_factor, num_frames=1) squeezed to images
     (pipeline_stable_diffusion.py:1046-1048)."""

@@ -30,6 +30,7 @@ def test_chunk_frames_overlap():
     assert chunks[1][0, 0, 0, 0] == 8 and chunks[2][0, 0, 0, 0] == 16
 
 
+@pytest.mark.slow
 def test_streaming_encode_matches_batch(vae):
     rs = np.random.RandomState(0)
     frames_u8 = rs.randint(0, 255, (21, 16, 16, 3), np.uint8)
@@ -44,6 +45,7 @@ def test_streaming_encode_matches_batch(vae):
                                atol=1e-5)
 
 
+@pytest.mark.slow
 def test_streaming_decode_matches_batch(vae):
     rs = np.random.RandomState(1)
     z = jnp.asarray(rs.randn(1, 6, 2, 2, 4).astype(np.float32))

@@ -36,6 +36,7 @@ def data_iter():
         yield {"frames": rng.randn(1, 5, 16, 16, 3).astype(np.float32) * 0.3}
 
 
+@pytest.mark.slow
 def test_fit_logs_and_checkpoints(tmp_path):
     logdir = str(tmp_path / "run")
     engine = make_engine()
@@ -101,6 +102,62 @@ def test_config_system(tmp_path):
     assert nested.net.latent_channels == 4
 
 
+@pytest.mark.slow
+def test_validate_full_metric_dict(tmp_path):
+    """val/* carries the SAME loss keys as training plus psnr/ssim, and
+    EMA weights get a second val_ema/* pass (autoencoder.py:380-443)."""
+    logdir = str(tmp_path / "valrun")
+    net = VAESD3Config(block_out_channels=(8, 8, 8, 8), layers_per_block=1,
+                       latent_channels=4, norm_num_groups=4)
+    cfg = EngineConfig(
+        family="sd3", net=net,
+        disc=Disc3DConfig(ndf=8, n_layers=2, norm_groups=4),
+        loss=LossConfig(perceptual_weight=0.0), constraint="none",
+        optim=OptimConfig(num_warmup_steps=0, num_training_steps=100),
+        ema_decay=0.999, remat=False)
+    engine = TrainingEngine(cfg, seed=0)
+    trainer = Trainer(engine, logdir, max_steps=2, ckpt_every=100,
+                      image_every=0, log_every=1)
+    state = trainer.fit(data_iter())
+
+    out = trainer.validate(state, data_iter(), step=2, n_batches=2)
+    train_keys = {"loss/total", "loss/nll", "loss/rec", "loss/g",
+                  "scalars/logvar", "scalars/d_weight", "kl_loss",
+                  "loss/disc", "logits/real", "logits/fake"}
+    for k in train_keys | {"psnr_db", "ssim"}:
+        assert f"val/{k}" in out, f"missing val/{k}"
+        assert f"val_ema/{k}" in out, f"missing val_ema/{k}"
+        assert np.isfinite(out[f"val/{k}"])
+    # test-split runner writes the same dict under test/
+    out_t = trainer.test(state, data_iter(), n_batches=1)
+    assert "test/loss/rec" in out_t and "test/psnr_db" in out_t
+    # CSV row landed
+    rows = open(os.path.join(logdir, "metrics.csv")).read()
+    assert "val/psnr_db" in rows and "val_ema/loss/disc" in rows
+
+
+@pytest.mark.slow
+def test_validate_tiled_full_res(tmp_path):
+    logdir = str(tmp_path / "tiledval")
+    engine = make_engine()
+    state = engine.init_state(jax.random.PRNGKey(0))
+    trainer = Trainer(engine, logdir, image_every=0)
+
+    def clips():
+        rng = np.random.RandomState(1)
+        while True:
+            yield {"frames": rng.randn(1, 5, 56, 56, 3).astype(np.float32) * .3}
+
+    # 56px / 32px tiles / 0.25 overlap: exact multi-tile grid on both the
+    # pixel (24+32) and latent (3+4) sides
+    out = trainer.validate_tiled(state, clips(), step=0, n_clips=1,
+                                 tile_spatial_size=32,
+                                 tile_overlap_ratio=0.25)
+    assert {"val_tiled/psnr_db", "val_tiled/ssim", "val_tiled/l1"} <= set(out)
+    assert np.isfinite(out["val_tiled/psnr_db"])
+
+
+@pytest.mark.slow
 def test_fit_writes_image_panels(tmp_path):
     logdir = str(tmp_path / "imgrun")
     engine = make_engine()

@@ -4,6 +4,8 @@ parameter sets, and produce finite reference-keyed metrics."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 import jax
 import jax.numpy as jnp
 
