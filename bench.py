@@ -1,12 +1,20 @@
-"""Benchmark: 720p encode+decode throughput per chip (CV-VAE v1, bf16).
+"""Benchmark: 720p encode+decode throughput per chip (CV-VAE v1).
 
-Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 value  = 720p (1280x720) frames/sec for a full encode+decode roundtrip
          through the production path (temporal chunking + spatial tiling,
          17-frame clip), steady state on one chip.
 vs_baseline = realtime factor vs 720p30 (the north-star asks >= 2.0).
+
+The headline mode is int8 serving (per-channel weight + dynamic
+activation quantization of the conv stack, ops/quant.py), quality-gated
+against the bf16 path in tests/test_quant.py and measured here as
+"agreement_db" (PSNR between the int8 and bf16 reconstructions of the
+same input).  "detail" carries the per-mode fps.  --dtype bf16 makes
+the bf16 number the headline.
 """
 
+import argparse
 import json
 import time
 
@@ -14,11 +22,37 @@ import jax
 import jax.numpy as jnp
 
 
+def roundtrip_fps(vae, x, frames, n_iters=3):
+    def roundtrip():
+        z = vae.encode(x).mode()
+        out = vae.decode(z)
+        # NOTE: under the axon TPU tunnel block_until_ready() returns
+        # before remote execution finishes; a scalar fetch is the only
+        # reliable sync.
+        float(jnp.sum(out.astype(jnp.float32)))
+        return out
+
+    out = roundtrip()  # warm-up / compile
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        roundtrip()
+    dt = (time.perf_counter() - t0) / n_iters
+    return frames / dt, out
+
+
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dtype", default="int8", choices=["int8", "bf16"],
+                    help="headline mode (the other is also measured)")
+    ap.add_argument("--skip_bf16", action="store_true",
+                    help="with --dtype int8: skip the bf16 comparison run")
+    args = ap.parse_args()
+
     from cvvae_tpu.utils.profiling import enable_compilation_cache
     enable_compilation_cache()
 
     from cvvae_tpu.models.video_vae import VideoVAE, VideoVAEConfig
+    from cvvae_tpu.utils.metrics import psnr
 
     frames, height, width = 17, 720, 1280
     # production TPU config: 720-px tiles (v5e HBM affords larger tiles
@@ -29,28 +63,30 @@ def main():
     x = jax.random.normal(jax.random.PRNGKey(0),
                           (1, frames, height, width, 3), jnp.bfloat16)
 
-    def roundtrip():
-        z = vae.encode(x).mode()
-        out = vae.decode(z)
-        # NOTE: under the axon TPU tunnel block_until_ready() returns
-        # before remote execution finishes; a scalar fetch is the only
-        # reliable sync.
-        return float(jnp.sum(out.astype(jnp.float32)))
+    detail = {}
+    outs = {}
+    modes = ["bf16", "int8"] if not args.skip_bf16 else ["int8"]
+    if args.dtype == "bf16" and "bf16" not in modes:
+        modes.append("bf16")
+    for mode in modes:
+        m_vae = vae.quantize() if mode == "int8" else vae
+        fps, out = roundtrip_fps(m_vae, x, frames)
+        detail[f"{mode}_fps"] = round(fps, 2)
+        outs[mode] = out
 
-    roundtrip()  # warm-up / compile
-    n_iters = 3
-    t0 = time.perf_counter()
-    for _ in range(n_iters):
-        roundtrip()
-    dt = (time.perf_counter() - t0) / n_iters
-
-    fps = frames / dt
-    print(json.dumps({
-        "metric": "720p_encode_decode_fps_per_chip",
-        "value": round(fps, 2),
+    result = {
+        "metric": f"720p_encode_decode_fps_per_chip_{args.dtype}",
+        "value": detail[f"{args.dtype}_fps"],
         "unit": "frames/sec",
-        "vs_baseline": round(fps / 30.0, 3),
-    }))
+        "vs_baseline": round(detail[f"{args.dtype}_fps"] / 30.0, 3),
+        "detail": detail,
+    }
+    if "bf16" in outs and "int8" in outs:
+        a, b = outs["bf16"], outs["int8"]
+        rng = float(jnp.max(jnp.abs(a.astype(jnp.float32)))) * 2
+        result["detail"]["int8_vs_bf16_agreement_db"] = round(float(
+            jnp.mean(psnr(a, b, data_range=rng))), 2)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -40,7 +40,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--width", type=int, default=1024)
     p.add_argument("--max_frames", type=int, default=None)
     p.add_argument("--dtype", type=str, default="bf16",
-                   choices=["bf16", "fp32"])
+                   choices=["bf16", "fp32", "int8"],
+                   help="int8 = bf16 activations + int8 conv stack "
+                        "(ops/quant.py; ~1.5x conv throughput)")
     p.add_argument("--mode", type=str, default="sample",
                    choices=["sample", "mode"],
                    help="posterior sampling (reference default) or mean")
@@ -58,7 +60,7 @@ def main(argv=None) -> dict:
     from cvvae_tpu.models.video_vae import VideoVAE, config_for_variant
 
     args = build_argparser().parse_args(argv)
-    dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
+    dtype = jnp.float32 if args.dtype == "fp32" else jnp.bfloat16
 
     if args.vae_path:
         vae = VideoVAE.from_pretrained(args.vae_path, subfolder=args.subfolder,
@@ -66,6 +68,8 @@ def main(argv=None) -> dict:
     else:
         vae = VideoVAE.from_config(config_for_variant(args.variant),
                                    seed=args.seed, dtype=dtype)
+    if args.dtype == "int8":
+        vae = vae.quantize()
 
     frames, fps = video_io.read_video(
         args.video_path, height=args.height, width=args.width,

@@ -151,11 +151,11 @@ def _upsample_spec(cfg: VAESD3Config, causal: bool) -> Conv3DSpec:
 
 def apply_upsample(params: dict, x: jax.Array, cfg: VAESD3Config,
                    causal: bool, up_time: bool) -> jax.Array:
-    from cvvae_tpu.ops.upsample_conv import upsample2x_conv3x3
+    from cvvae_tpu.ops.upsample_conv import upsample2x_conv3x3_interleave
     n = 2 if up_time else 1
-    x = upsample2x_conv3x3(x, params, t_pad=(2, 0) if causal else (1, 1),
-                           t_mode="edge", hw_mode="edge")
-    return temporal_interleave(x, n, drop_first=True)
+    return upsample2x_conv3x3_interleave(
+        x, params, n=n, t_pad=(2, 0) if causal else (1, 1),
+        t_mode="edge", hw_mode="edge")
 
 
 # ---------------------------------------------------------------------------

@@ -143,7 +143,14 @@ def _edge_pad(x: jax.Array, pads: Sequence[Pad], modes: Sequence[str]) -> jax.Ar
 def conv3d(x: jax.Array, params: dict, spec: Conv3DSpec, *,
            compute_dtype: Optional[jnp.dtype] = None,
            precision=None) -> jax.Array:
-    """Run the conv described by ``spec`` on ``x`` (B,T,H,W,C)."""
+    """Run the conv described by ``spec`` on ``x`` (B,T,H,W,C).
+
+    Accepts int8-quantized params ({kernel_q, scale_w, bias?} produced
+    by ops.quant.quantize_conv_params) transparently, so a quantized
+    params tree drops into any model unchanged."""
+    if "kernel_q" in params:
+        from cvvae_tpu.ops.quant import conv3d_int8
+        return conv3d_int8(x, params, spec, precision=precision)
     kernel = params["kernel"]
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
@@ -151,11 +158,21 @@ def conv3d(x: jax.Array, params: dict, spec: Conv3DSpec, *,
     elif kernel.dtype != x.dtype:
         kernel = kernel.astype(x.dtype)
 
-    # NOTE: an im2col lowering for tiny-Cin convs (_conv3d_small_cin)
-    # measured neutral in isolation but cost ~6% end-to-end at 720p
-    # (the shifted-stack concat breaks XLA's fusion around conv_in), so
-    # it is not enabled; kept + tested for future shapes.
-    if (spec.modes[0] == "edge" and spec.modes[1] == "zero"
+    c_in = kernel.shape[3]
+    if (c_in <= 8 and spec.kernel[0] * spec.kernel[1] > 1
+            and spec.stride[0] == 1 and spec.stride[1] == 1):
+        # Stem convs (Cin=3 pixels / 4-16 latents): XLA's TPU conv
+        # lowering contracts only over Cin per spatial tap, so these run
+        # at ~Cin/128 of MXU depth (measured 2.2 TFLOP/s for the v1
+        # encoder stem at 720p).  The stacked lowering reaches
+        # kT*kH*Cin contraction depth (~7x) and only copies the
+        # small-channel input.
+        y = _conv3d_stacked_stem(x, kernel, spec, precision)
+    # NOTE: a full 27-tap im2col (_conv3d_small_cin) measured neutral in
+    # isolation but cost ~6% end-to-end at 720p (the 27-slice concat is
+    # 27x the input in HBM and breaks fusion); the stacked-stem lowering
+    # above only materialises kT*kH slices.
+    elif (spec.modes[0] == "edge" and spec.modes[1] == "zero"
             and spec.modes[2] == "zero" and (spec.pads[0][0] or spec.pads[0][1])
             and x.shape[1] > 1):
         y = _conv3d_edge_time_fast(x, kernel, spec, precision)
@@ -176,6 +193,49 @@ def conv3d(x: jax.Array, params: dict, spec: Conv3DSpec, *,
     if bias is not None:
         y = y + bias.astype(y.dtype)
     return y
+
+
+def _conv3d_stacked_stem(x: jax.Array, kernel: jax.Array, spec: Conv3DSpec,
+                         precision) -> jax.Array:
+    """Small-Cin conv as a (1,1,kW) conv on T/H tap-stacked channels.
+
+    All T/H padding (edge or zero) is materialised on the small-channel
+    input; the kT*kH shifted views are concatenated on the channel axis
+    (order: dt outer, dh inner, cin minor), turning the conv into one
+    with contraction depth kT*kH*Cin.  W handling (pad + stride) stays
+    inside lax.conv.  Bit-equal to the direct lowering up to float
+    reassociation.
+    """
+    kt, kh, kw = spec.kernel
+    # Materialise T/H padding (either mode) on the small input; W zero
+    # padding folds into the lax conv, W edge padding is materialised.
+    edge_widths = [(0, 0)] * 5
+    zero_widths = [(0, 0)] * 5
+    w_pad = (0, 0)
+    for axis, (pad, mode) in enumerate(zip(spec.pads, spec.modes)):
+        if axis == 2 and mode == "zero":
+            w_pad = tuple(pad)
+        elif mode == "edge":
+            edge_widths[1 + axis] = tuple(pad)
+        else:
+            zero_widths[1 + axis] = tuple(pad)
+    if any(p != (0, 0) for p in edge_widths):
+        x = jnp.pad(x, edge_widths, mode="edge")
+    if any(p != (0, 0) for p in zero_widths):
+        x = jnp.pad(x, zero_widths)
+
+    t_out = x.shape[1] - kt + 1
+    h_out = x.shape[2] - kh + 1
+    views = [x[:, dt:dt + t_out, dh:dh + h_out]
+             for dt in range(kt) for dh in range(kh)]
+    z = views[0] if len(views) == 1 else jnp.concatenate(views, axis=-1)
+    c_in, c_out = kernel.shape[3], kernel.shape[4]
+    k2 = jnp.transpose(kernel, (2, 0, 1, 3, 4))       # (kW, kT, kH, I, O)
+    k2 = k2.reshape(1, 1, kw, kt * kh * c_in, c_out)
+    return lax.conv_general_dilated(
+        z, k2, window_strides=(1, 1, spec.stride[2]),
+        padding=[(0, 0), (0, 0), w_pad],
+        dimension_numbers=_DIMENSION_NUMBERS, precision=precision)
 
 
 def _conv3d_small_cin(x: jax.Array, kernel: jax.Array, spec: Conv3DSpec,

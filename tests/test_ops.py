@@ -61,6 +61,38 @@ def test_conv_padding_variants(spec_name, tpad, spad, smode, stride):
     np.testing.assert_allclose(j2t(y), y_ref, atol=1e-5)
 
 
+def test_stacked_stem_matches_general_path():
+    """The small-Cin tap-stacked lowering must equal the general conv
+    for every padding variant, 2D-on-5D kernels, T=1, and W stride."""
+    from cvvae_tpu.ops.conv import _conv3d_stacked_stem
+
+    rng = np.random.RandomState(3)
+    for spec, shape in [
+        (Conv3DSpec.v1_causal(), (1, 5, 8, 9, 3)),
+        (Conv3DSpec.v1_plain(), (2, 4, 7, 8, 4)),
+        (Conv3DSpec.sd3_causal(), (1, 5, 8, 9, 3)),
+        (Conv3DSpec.sd3_plain(), (1, 3, 6, 6, 4)),
+        (Conv3DSpec.spatial2d(), (1, 1, 8, 8, 3)),          # T=1 image
+        (Conv3DSpec((3, 3, 3), (1, 1, 2), ((2, 0), (1, 1), (1, 1)),
+                    ("edge", "zero", "zero")), (1, 5, 8, 9, 3)),
+    ]:
+        c_in = shape[-1]
+        x = jnp.asarray(rng.randn(*shape), jnp.float32)
+        kernel = jnp.asarray(
+            rng.randn(*spec.kernel, c_in, 7) * 0.2, jnp.float32)
+        y_fast = _conv3d_stacked_stem(x, kernel, spec, None)
+        xp = x
+        from cvvae_tpu.ops.conv import _edge_pad
+        xp = _edge_pad(xp, spec.pads, spec.modes)
+        lax_padding = [tuple(p) if m == "zero" else (0, 0)
+                       for p, m in zip(spec.pads, spec.modes)]
+        y_ref = jax.lax.conv_general_dilated(
+            xp, kernel, spec.stride, lax_padding,
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+        np.testing.assert_allclose(np.asarray(y_fast), np.asarray(y_ref),
+                                   atol=2e-5), spec
+
+
 def test_v1_downsample_padding():
     """Asymmetric (0,1) zero space pad + (2,0) replicate time, stride 2."""
     torch.manual_seed(1)

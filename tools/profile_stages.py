@@ -17,9 +17,10 @@ import jax.numpy as jnp
 
 
 def time_prefixes(named_stages, x0, iters):
-    """named_stages: list[(name, fn h->h)].  Returns {name: seconds}."""
-    from cvvae_tpu.utils.profiling import sync
+    """named_stages: list[(name, fn h->h)].  Returns {name: seconds}.
 
+    Each prefix returns an in-jit scalar checksum (a full fetch of the
+    multi-GB stage outputs would double peak HBM via the fp32 convert)."""
     results = {}
     prev = 0.0
     fns = []
@@ -30,14 +31,14 @@ def time_prefixes(named_stages, x0, iters):
         def prefix(h, stages=stages):
             for s in stages:
                 h = s(h)
-            return h
+            return jnp.sum(h.astype(jnp.float32))
 
         jf = jax.jit(prefix)
-        sync(jf(x0))  # compile + warm
+        float(jf(x0))  # compile + warm; scalar fetch = real barrier
         best = float("inf")
         for _ in range(iters):
             t0 = time.perf_counter()
-            sync(jf(x0))
+            float(jf(x0))
             best = min(best, time.perf_counter() - t0)
         results[name] = best - prev
         results[f"cum/{name}"] = best
@@ -140,6 +141,10 @@ def main():
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--tile", type=int, default=720)
     ap.add_argument("--frames", type=int, default=17)
+    ap.add_argument("--quantize", action="store_true",
+                    help="profile the int8 conv stack (ops/quant.py)")
+    ap.add_argument("--skip_encoder", action="store_true")
+    ap.add_argument("--skip_decoder", action="store_true")
     args = ap.parse_args()
 
     from cvvae_tpu.utils.profiling import enable_compilation_cache
@@ -152,16 +157,25 @@ def main():
     ke, kd, kx, kz = jax.random.split(k, 4)
     enc = jax.tree.map(lambda a: a.astype(dtype), m.init_encoder(ke, cfg))
     dec = jax.tree.map(lambda a: a.astype(dtype), m.init_decoder(kd, cfg))
+    tag = args.dtype
+    if args.quantize:
+        from cvvae_tpu.ops.quant import quantize_conv_params
+        enc = quantize_conv_params(enc)
+        dec = quantize_conv_params(dec)
+        tag += "+int8"
 
     x = jax.random.normal(kx, (1, args.frames, args.tile, args.tile, 3), dtype)
     tz = 1 + (args.frames - 1) // 4
     z = jax.random.normal(kz, (1, min(tz, 5), args.tile // 8, args.tile // 8,
                                cfg.z_channels), dtype)
 
-    print(f"# encoder x={x.shape} {args.dtype}", flush=True)
-    enc_times = time_prefixes(encoder_stages(enc, cfg), x, args.iters)
-    print(f"# decoder z={z.shape} {args.dtype}", flush=True)
-    dec_times = time_prefixes(decoder_stages(dec, cfg), z, args.iters)
+    enc_times = dec_times = {}
+    if not args.skip_encoder:
+        print(f"# encoder x={x.shape} {tag}", flush=True)
+        enc_times = time_prefixes(encoder_stages(enc, cfg), x, args.iters)
+    if not args.skip_decoder:
+        print(f"# decoder z={z.shape} {tag}", flush=True)
+        dec_times = time_prefixes(decoder_stages(dec, cfg), z, args.iters)
     print(json.dumps({"encoder": enc_times, "decoder": dec_times}))
 
 
