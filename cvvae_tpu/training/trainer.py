@@ -69,11 +69,11 @@ class Trainer:
         if state is None:
             state = engine.init_state(jax.random.PRNGKey(self.seed))
         if resume and self.ckpt.latest_step() is not None:
-            state = self.ckpt.restore(jax.tree.map(
-                jax.eval_shape if False else (lambda x: x), state))
+            from cvvae_tpu.training.checkpoint import abstract_state
+            state = self.ckpt.restore(abstract_state(state))
             print(f"[trainer] resumed at step {int(state.step)}")
 
-        rng = jax.random.PRNGKey(self.seed + 1)
+        rng_base = jax.random.PRNGKey(self.seed + 1)
         melk_requested = {"flag": False}
 
         def _melk(signum, frame):  # SIGUSR1 -> checkpoint (main.py:881-893)
@@ -93,7 +93,9 @@ class Trainer:
                 if self._mesh is not None:
                     from cvvae_tpu.parallel.mesh import put_batch
                     batch = put_batch(batch, self._mesh)
-                rng, sub = jax.random.split(rng)
+                # step-keyed rng: resume at step k replays the exact
+                # stream an uninterrupted run would use (resume test)
+                sub = jax.random.fold_in(rng_base, step)
                 state, metrics = self._step_fn(state, batch, sub)
                 step = int(state.step)
 
@@ -115,7 +117,9 @@ class Trainer:
                             jax.random.PRNGKey(step))
                         self.images.log(step, np.asarray(x),
                                         np.asarray(xrec[:x.shape[0]]))
-                self.ckpt.maybe_save(step, state)
+                self.ckpt.maybe_save(
+                    step, state,
+                    metrics={f"train/{k}": v for k, v in metrics.items()})
                 if melk_requested["flag"]:
                     self.ckpt.save_now(step, state)
                     melk_requested["flag"] = False

@@ -103,6 +103,74 @@ def test_config_system(tmp_path):
 
 
 @pytest.mark.slow
+def test_resume_equivalence(tmp_path):
+    """fit k steps, 'crash', resume -> bit-identical params/opt state to
+    an uninterrupted run (step-keyed rng + abstract-state restore)."""
+
+    def batches():
+        rng = np.random.RandomState(7)
+        fixed = [
+            {"frames": rng.randn(1, 5, 16, 16, 3).astype(np.float32) * 0.3}
+            for _ in range(6)]
+        step = 0
+        while True:
+            yield fixed[step % len(fixed)]
+            step += 1
+
+    # uninterrupted run: 4 steps
+    t_full = Trainer(make_engine(), str(tmp_path / "full"), max_steps=4,
+                     ckpt_every=1, image_every=0, log_every=0)
+    s_full = t_full.fit(batches())
+
+    # interrupted: 2 steps, then resume from the checkpoint for 2 more.
+    # the data iterator is step-keyed here (batches() % step), matching
+    # what a seekable/sharded pipeline provides on real resume.
+    logdir = str(tmp_path / "resumed")
+    t_a = Trainer(make_engine(), logdir, max_steps=2, ckpt_every=1,
+                  image_every=0, log_every=0)
+    t_a.fit(batches())
+
+    def batches_from(start):
+        g = batches()
+        for _ in range(start):
+            next(g)
+        return g
+
+    t_b = Trainer(make_engine(), logdir, max_steps=4, ckpt_every=1,
+                  image_every=0, log_every=0)
+    s_res = t_b.fit(batches_from(2), resume=True)
+
+    assert int(s_res.step) == int(s_full.step) == 4
+    for a, b in zip(jax.tree_util.tree_leaves(s_full.params),
+                    jax.tree_util.tree_leaves(s_res.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree_util.tree_leaves(s_full.disc_params),
+                    jax.tree_util.tree_leaves(s_res.disc_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.slow
+def test_best_k_checkpointing(tmp_path):
+    """best/ keeps the lowest-monitor checkpoints (reference
+    ModelCheckpoint save_top_k on train/loss/rec, main.py:718-737)."""
+    from cvvae_tpu.training.checkpoint import CheckpointManager
+    engine = make_engine()
+    state = engine.init_state(jax.random.PRNGKey(0))
+    ckpt = CheckpointManager(str(tmp_path), rolling_every=1, keep=2,
+                             permanent_every=0, best_k=2)
+    losses = {1: 5.0, 2: 1.0, 3: 4.0, 4: 0.5}
+    for step, loss in losses.items():
+        state = state._replace(step=jnp.asarray(step, jnp.int32))
+        ckpt.maybe_save(step, state, metrics={"train/loss/rec": loss})
+    ckpt.close()
+    assert ckpt.best_step() == 4
+    kept = sorted(int(p) for p in os.listdir(os.path.join(str(tmp_path),
+                                                          "best"))
+                  if p.isdigit())
+    assert kept == [2, 4]  # the two lowest-loss steps survive
+
+
+@pytest.mark.slow
 def test_validate_full_metric_dict(tmp_path):
     """val/* carries the SAME loss keys as training plus psnr/ssim, and
     EMA weights get a second val_ema/* pass (autoencoder.py:380-443)."""
