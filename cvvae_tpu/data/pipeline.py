@@ -193,6 +193,108 @@ def mapped(it: Iterable, fn: Callable, *,
             yield out
 
 
+def parallel_mapped(it: Iterable, fn: Callable, *, num_workers: int = 4,
+                    prefetch: Optional[int] = None,
+                    handler: Callable[[Exception], bool] = warn_and_continue
+                    ) -> Iterator:
+    """``mapped`` with a thread pool: the reference runs 4 DataLoader
+    worker *processes* per rank (datapipe_utils.py:365-367); here the
+    decode work (cv2/PIL/numpy) releases the GIL, so a thread pool gives
+    the same parallelism without pickling or fork overhead.  Results are
+    yielded in input order; per-sample failures warn-and-continue.
+    ``prefetch`` bounds the in-flight window (default 2x workers)."""
+    if num_workers <= 1:
+        yield from mapped(it, fn, handler=handler)
+        return
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
+
+    window = prefetch or 2 * num_workers
+    with ThreadPoolExecutor(num_workers) as ex:
+        futures: deque = deque()
+        src = iter(it)
+        exhausted = False
+        while True:
+            while not exhausted and len(futures) < window:
+                try:
+                    futures.append(ex.submit(fn, next(src)))
+                except StopIteration:
+                    exhausted = True
+            if not futures:
+                return
+            fut = futures.popleft()
+            try:
+                out = fut.result()
+            except Exception as exn:
+                if not handler(exn):
+                    raise
+                continue
+            if out is not None:
+                yield out
+
+
+class _PipelineError:
+    def __init__(self, exn):
+        self.exn = exn
+
+
+def prefetched(it: Iterable, size: int = 4) -> Iterator:
+    """Run the upstream pipeline in a daemon thread with a bounded
+    queue, so host-side IO (tar reads, decode, collation) overlaps the
+    consumer's device step (DataLoader prefetching semantics)."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=size)
+    _end = object()
+
+    def worker():
+        try:
+            for item in it:
+                q.put(item)
+            q.put(_end)
+        except BaseException as exn:  # re-raised in the consumer
+            q.put(_PipelineError(exn))
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is _end:
+            return
+        if isinstance(item, _PipelineError):
+            raise item.exn
+        yield item
+
+
+def device_prefetch(it: Iterable, size: int = 2, sharding=None) -> Iterator:
+    """Double-buffer host batches onto the device: ``jax.device_put`` is
+    asynchronous, so the next batch's host->device transfer overlaps the
+    current step's compute."""
+    from collections import deque
+
+    import jax
+
+    def put(batch):
+        return {k: (jax.device_put(v, sharding)
+                    if isinstance(v, np.ndarray) else v)
+                for k, v in batch.items()}
+
+    buf: deque = deque()
+    src = iter(it)
+    try:
+        for _ in range(max(1, size)):
+            buf.append(put(next(src)))
+    except StopIteration:
+        pass
+    while buf:
+        out = buf.popleft()
+        try:
+            buf.append(put(next(src)))
+        except StopIteration:
+            pass
+        yield out
+
+
 def filtered(it: Iterable, pred: Callable) -> Iterator:
     return (x for x in it if pred(x))
 
@@ -211,8 +313,13 @@ def build_webdataset_pipeline(*, urls_or_dir, file_mask: str = "*.tar",
                               select_keys: Optional[Sequence[str]] = None,
                               batch_size: int = 1, seed: int = 0,
                               shard_id: int = 0, num_shards: int = 1,
+                              num_workers: int = 4, prefetch: int = 2,
                               handler=warn_and_continue) -> Iterator:
-    """tar branch of create_single_dataset (datapipe_utils.py:186-285)."""
+    """tar branch of create_single_dataset (datapipe_utils.py:186-285).
+
+    ``num_workers`` parallelises the decode (the reference's
+    num_workers=4 DataLoader semantics); ``prefetch`` batches are built
+    ahead in a background thread."""
     files = list_files(urls_or_dir, file_mask)
     it = cycle(files, repeat)
     if shardshuffle:
@@ -220,12 +327,16 @@ def build_webdataset_pipeline(*, urls_or_dir, file_mask: str = "*.tar",
     it = shard(it, shard_id, num_shards)
     it = tar_sample_reader(it, handler)
     if decoder is not None:
-        it = mapped(it, decoder, handler=handler)
+        it = parallel_mapped(it, decoder, num_workers=num_workers,
+                             handler=handler)
     if sample_shuffle:
         it = buffered_shuffle(it, sample_shuffle, seed + 1)
     if select_keys:
         it = selected(it, select_keys)
-    return batcher(it, batch_size)
+    it = batcher(it, batch_size)
+    if prefetch:
+        it = prefetched(it, prefetch)
+    return it
 
 
 def build_metadata_pipeline(*, urls_or_dir, file_mask: str = "*.csv",
@@ -235,6 +346,7 @@ def build_metadata_pipeline(*, urls_or_dir, file_mask: str = "*.csv",
                             select_keys: Optional[Sequence[str]] = None,
                             batch_size: int = 1, seed: int = 0,
                             shard_id: int = 0, num_shards: int = 1,
+                            num_workers: int = 4, prefetch: int = 2,
                             handler=warn_and_continue) -> Iterator:
     """csv/jsonl branch of create_single_dataset."""
     files = list_files(urls_or_dir, file_mask)
@@ -244,10 +356,14 @@ def build_metadata_pipeline(*, urls_or_dir, file_mask: str = "*.csv",
     if sample_shuffle:
         it = buffered_shuffle(it, sample_shuffle, seed)
     if decoder is not None:
-        it = mapped(it, decoder, handler=handler)
+        it = parallel_mapped(it, decoder, num_workers=num_workers,
+                             handler=handler)
     if select_keys:
         it = selected(it, select_keys)
-    return batcher(it, batch_size)
+    it = batcher(it, batch_size)
+    if prefetch:
+        it = prefetched(it, prefetch)
+    return it
 
 
 def build_multi_dataset(pipelines: Dict[str, Iterator],

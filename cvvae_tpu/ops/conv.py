@@ -147,10 +147,16 @@ def conv3d(x: jax.Array, params: dict, spec: Conv3DSpec, *,
 
     Accepts int8-quantized params ({kernel_q, scale_w, bias?} produced
     by ops.quant.quantize_conv_params) transparently, so a quantized
-    params tree drops into any model unchanged."""
+    params tree drops into any model unchanged.  Small-activation calls
+    fall back to a dequantized bf16 conv — XLA's int8 conv path is
+    ~2.5x SLOWER than bf16 below ~64x64 spatial (measured on v5e), and
+    shapes are static at trace time so the choice is free."""
     if "kernel_q" in params:
-        from cvvae_tpu.ops.quant import conv3d_int8
-        return conv3d_int8(x, params, spec, precision=precision)
+        from cvvae_tpu.ops.quant import (
+            INT8_MIN_POSITIONS, conv3d_int8, dequantize_kernel)
+        if x.shape[1] * x.shape[2] * x.shape[3] >= INT8_MIN_POSITIONS:
+            return conv3d_int8(x, params, spec, precision=precision)
+        params = dict(params, kernel=dequantize_kernel(params))
     kernel = params["kernel"]
     if compute_dtype is not None:
         x = x.astype(compute_dtype)

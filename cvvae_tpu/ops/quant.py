@@ -42,6 +42,11 @@ from cvvae_tpu.ops.conv import Conv3DSpec, _edge_pad
 
 _DIMENSION_NUMBERS = ("NDHWC", "DHWIO", "NDHWC")
 
+#: T*H*W below which an int8 conv call falls back to dequantized bf16
+#: (XLA's int8 conv is ~2.5x slower than bf16 under ~5x64x64 on v5e;
+#: crossover measured at ~5x64x64, comfortably int8-favourable by 90x90)
+INT8_MIN_POSITIONS = 5 * 64 * 64
+
 
 def quantize_kernel(kernel: jax.Array) -> Tuple[jax.Array, jax.Array]:
     """(kT,kH,kW,I,O) fp -> (int8 kernel, fp32 per-O scale)."""

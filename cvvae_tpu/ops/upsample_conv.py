@@ -107,6 +107,10 @@ def upsample2x_conv3x3_interleave(x: jax.Array, params: dict, *,
     if quantized:
         from cvvae_tpu.ops import quant
         kernel = quant.dequantize_kernel(params).astype(jnp.float32)
+        quantized = (x.shape[1] * x.shape[2] * x.shape[3]
+                     >= quant.INT8_MIN_POSITIONS)
+        if not quantized:
+            kernel = kernel.astype(x.dtype)
     else:
         kernel = params["kernel"].astype(x.dtype)  # (kT, 3, 3, I, n*c)
     if t_mode == "edge" and (t_pad[0] or t_pad[1]):

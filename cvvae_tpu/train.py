@@ -71,6 +71,8 @@ def build_data(data_cfg: Dict, *, shard_id: int = 0,
             repeat=ds.get("repeat"), decoder=decoder,
             select_keys=ds.get("select_keys", ("frames",)),
             batch_size=ds.get("batch_size", 1),
+            num_workers=ds.get("num_workers", 4),
+            prefetch=ds.get("prefetch", 2),
             seed=ds.get("seed", 0), shard_id=shard_id, num_shards=num_shards)
         if kind == "webdataset":
             datasets[name] = pl.build_webdataset_pipeline(

@@ -73,6 +73,16 @@ class Trainer:
             state = self.ckpt.restore(abstract_state(state))
             print(f"[trainer] resumed at step {int(state.step)}")
 
+        # double-buffer host->device transfers ahead of the step
+        # (device_put is async; the transfer overlaps compute)
+        from cvvae_tpu.data.pipeline import device_prefetch
+        if self._mesh is not None:
+            from cvvae_tpu.parallel.mesh import batch_sharding
+            data = device_prefetch(data,
+                                   sharding=batch_sharding(self._mesh))
+        else:
+            data = device_prefetch(data)
+
         rng_base = jax.random.PRNGKey(self.seed + 1)
         melk_requested = {"flag": False}
 

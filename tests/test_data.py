@@ -132,3 +132,55 @@ def test_cover_resize():
     assert out.shape == (32, 32, 3)
     vid = np.zeros((3, 30, 60, 3), np.uint8)
     assert tfm.cover_resize(vid, (16, 24)).shape == (3, 16, 24, 3)
+
+
+def test_parallel_mapped_preserves_order_and_skips_failures():
+    def fn(i):
+        if i == 5:
+            raise ValueError("bad sample")
+        return i * 2
+
+    with pytest.warns(UserWarning):
+        out = list(pl.parallel_mapped(range(20), fn, num_workers=4))
+    assert out == [i * 2 for i in range(20) if i != 5]
+
+
+def test_parallel_mapped_single_worker_fallback():
+    out = list(pl.parallel_mapped(range(5), lambda i: i + 1, num_workers=1))
+    assert out == [1, 2, 3, 4, 5]
+
+
+def test_prefetched_yields_all_and_propagates_errors():
+    assert list(pl.prefetched(iter(range(10)), size=3)) == list(range(10))
+
+    def bad():
+        yield 1
+        raise RuntimeError("upstream died")
+
+    it = pl.prefetched(bad(), size=2)
+    assert next(it) == 1
+    with pytest.raises(RuntimeError, match="upstream died"):
+        list(it)
+
+
+def test_device_prefetch_moves_batches():
+    import jax
+    batches = [{"frames": np.full((2, 3), i, np.float32), "meta": [i]}
+               for i in range(4)]
+    out = list(pl.device_prefetch(iter(batches), size=2))
+    assert len(out) == 4
+    for i, b in enumerate(out):
+        assert isinstance(b["frames"], jax.Array)
+        np.testing.assert_array_equal(np.asarray(b["frames"]),
+                                      batches[i]["frames"])
+        assert b["meta"] == [i]
+
+
+def test_webdataset_pipeline_parallel_decode(wds_dir):
+    from cvvae_tpu.data.decoders import make_image_decoder
+    it = pl.build_webdataset_pipeline(
+        urls_or_dir=wds_dir, repeat=1, decoder=make_image_decoder(size=32),
+        select_keys=("frames",), batch_size=2, num_workers=4, prefetch=2)
+    batches = list(it)
+    assert len(batches) == 4  # 8 samples / bs 2
+    assert all(b["frames"].shape == (2, 1, 32, 32, 3) for b in batches)
