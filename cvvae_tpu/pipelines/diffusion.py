@@ -136,7 +136,8 @@ class LatentDiffusionPipeline:
                  height: int = 512, width: int = 512,
                  num_inference_steps: int = 50,
                  guidance_scale: float = 7.5,
-                 latents: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                 latents: Optional[jnp.ndarray] = None,
+                 output_type: str = "image") -> jnp.ndarray:
         sched = self.scheduler
         if latents is None:
             key, sub = jax.random.split(key)
@@ -163,6 +164,8 @@ class LatentDiffusionPipeline:
             return lat, None
 
         latents, _ = jax.lax.scan(body, latents, (ts, ts_prev))
+        if output_type == "latent":
+            return latents
         return self.decode_latents(latents)
 
     def decode_latents(self, latents: jnp.ndarray) -> jnp.ndarray:

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 # Modules whose weight/bias become scale/bias (GroupNorm / LayerNorm).
-_NORM_NAMES = {"norm", "norm1", "norm2", "norm_t", "norm_out",
+_NORM_NAMES = {"norm", "norm1", "norm2", "norm3", "norm_t", "norm_out",
                "conv_norm_out", "group_norm"}
 # Modules that become dense kernels (I, O) regardless of torch rank
 # (1x1 Conv2d in v1 attention, nn.Linear in temporal attention / SD3).
@@ -39,6 +39,9 @@ _PATH_REWRITES = [
     (re.compile(r"\b(downsamplers\.\d+)\.conv\."), r"\1."),
     (re.compile(r"\b(upsamplers\.\d+)\.conv\."), r"\1."),
     (re.compile(r"\bto_out\.0\."), "to_out."),
+    # diffusers GEGLU feed-forward (UNet transformer blocks)
+    (re.compile(r"\bff\.net\.0\.proj\."), "ff_proj."),
+    (re.compile(r"\bff\.net\.2\."), "ff_out."),
 ]
 
 
@@ -211,3 +214,57 @@ def load_torch_checkpoint_file(path: str, dtype=jnp.float32,
         blob = torch.load(path, map_location="cpu", weights_only=False)
         state = blob.get("state_dict", blob)
     return convert_state_dict(state, prefixes=prefixes, dtype=dtype)
+
+
+# ---------------------------------------------------------------------------
+# UNet2DConditionModel (the latent-compat denoiser)
+# ---------------------------------------------------------------------------
+
+def convert_unet_state_dict(state_dict: Dict[str, np.ndarray],
+                            dtype=jnp.float32) -> dict:
+    """Convert a diffusers UNet2DConditionModel state dict (SD 2.x,
+    use_linear_projection) into a cvvae_tpu.models.unet2d params tree.
+
+    The UNet has no top-level prefix, so every key converts; the same
+    layout rules as the VAE apply (Conv2d -> (1,kH,kW,I,O), Linear ->
+    dense (I,O), norms -> scale/bias, GEGLU ff split into
+    ff_proj/ff_out)."""
+    tree: dict = {}
+    for key, value in state_dict.items():
+        if hasattr(value, "detach"):
+            value = value.detach().cpu().numpy()
+        value = np.asarray(value)
+        path, module_name, leaf = _translate_key(key)
+        name, converted = _convert_tensor(value, module_name, leaf)
+        _set_path(tree, path, name, jnp.asarray(converted, dtype=dtype))
+    return _listify(tree)
+
+
+def load_unet_checkpoint(path: str, dtype=jnp.float32):
+    """Load a diffusers UNet checkpoint dir (config.json + safetensors)
+    -> (params, UNet2DConfig)."""
+    from safetensors import safe_open
+
+    from cvvae_tpu.models.unet2d import UNet2DConfig
+
+    with open(os.path.join(path, "config.json")) as f:
+        cfg_json = json.load(f)
+    head = cfg_json.get("attention_head_dim", 64)
+    if isinstance(head, (list, tuple)):
+        # per-block head *counts* in old configs; fall back to dim 64
+        head = cfg_json["block_out_channels"][0] // head[0]
+    cfg = UNet2DConfig(
+        in_channels=cfg_json.get("in_channels", 4),
+        out_channels=cfg_json.get("out_channels", 4),
+        block_out_channels=tuple(cfg_json["block_out_channels"]),
+        layers_per_block=cfg_json.get("layers_per_block", 2),
+        cross_attention_dim=cfg_json.get("cross_attention_dim", 1024),
+        attention_head_dim=head,
+        norm_num_groups=cfg_json.get("norm_num_groups", 32))
+    state = {}
+    files = sorted(f for f in os.listdir(path) if f.endswith(".safetensors"))
+    for fname in files:
+        with safe_open(os.path.join(path, fname), framework="numpy") as f:
+            for key in f.keys():
+                state[key] = f.get_tensor(key)
+    return convert_unet_state_dict(state, dtype=dtype), cfg
