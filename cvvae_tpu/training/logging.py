@@ -74,6 +74,21 @@ class MetricsLogger:
             self._file.close()
 
 
+def _ceil_div(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _diverging_colormap(x: np.ndarray) -> np.ndarray:
+    """PiYG-style diverging map on [-1, 1] -> RGB in [0, 1]
+    (negative = magenta, zero = near-white, positive = green)."""
+    white = np.array([0.97, 0.97, 0.97])
+    magenta = np.array([0.77, 0.11, 0.49])
+    green = np.array([0.10, 0.47, 0.22])
+    neg = np.clip(-x, 0.0, 1.0)[..., None]
+    pos = np.clip(x, 0.0, 1.0)[..., None]
+    return white + neg * (magenta - white) + pos * (green - white)
+
+
 def should_log_images(step: int, every: int = 250) -> bool:
     """Reference cadence: every N steps, plus powers of two early on
     (ImageLogger.check_frequency, main.py:440-455)."""
@@ -98,7 +113,11 @@ class ImageLogger:
             return None
         return self.log(step, inputs, recons, split)
 
-    def log(self, step: int, inputs, recons, split: str = "train") -> str:
+    def log(self, step: int, inputs, recons, split: str = "train",
+            logits_real=None, logits_fake=None) -> str:
+        """inputs/recons (B,T,H,W,C) in [-1,1]; optional patch-disc
+        logit maps (B,T',H',W',1) add heatmap-overlay rows (the
+        reference's log_images, discriminator_loss.py:98-209)."""
         import cv2
         x = np.asarray(inputs, np.float32)[:self.max_images]
         r = np.asarray(recons, np.float32)[:x.shape[0], :x.shape[1]]
@@ -108,8 +127,28 @@ class ImageLogger:
         # panels per reference: inputs | recon | 0.5*diff | diff_boost
         diff = 0.5 * np.clip(np.abs(x - r), 0, 2)          # in [0,1]
         boost = np.clip(self.diff_boost_factor * diff, 0, 1)
-        rows = [np.concatenate(list(frames), axis=1) for frames in
-                (0.5 * (x + 1), 0.5 * (r + 1), diff, boost)]
+        frame_rows = [0.5 * (x + 1), 0.5 * (r + 1), diff, boost]
+        if logits_real is not None and logits_fake is not None:
+            lr_ = np.asarray(logits_real, np.float32)[:b]
+            lf_ = np.asarray(logits_fake, np.float32)[:b]
+            high = max(np.abs(lr_).max(), np.abs(lf_).max(), 1e-6)
+            for img, lg in ((0.5 * (x + 1), lr_), (0.5 * (r + 1), lf_)):
+                lg = lg.reshape((-1,) + lg.shape[2:])[..., 0] / high
+                # nearest-upsample the patch map to image resolution
+                lg = np.repeat(np.repeat(
+                    lg, _ceil_div(img.shape[1], lg.shape[1]), axis=1),
+                    _ceil_div(img.shape[2], lg.shape[2]), axis=2)
+                # logit frames may be fewer than image frames (temporal
+                # downsampling in the 3D disc): tile to match
+                reps = _ceil_div(img.shape[0], lg.shape[0])
+                lg = np.repeat(lg, reps, axis=0)[:img.shape[0],
+                                                 :img.shape[1],
+                                                 :img.shape[2]]
+                alpha = (0.8 * np.abs(lg))[..., None]
+                frame_rows.append((1 - alpha) * img
+                                  + alpha * _diverging_colormap(lg))
+        rows = [np.concatenate(list(frames), axis=1)
+                for frames in frame_rows]
         panel = np.clip(np.concatenate(rows, axis=0) * 255, 0, 255).astype(
             np.uint8)
         path = os.path.join(self.dir, f"{split}_step{step:08d}.png")

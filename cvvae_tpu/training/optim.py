@@ -63,6 +63,26 @@ def linear_schedule_with_warmup(base_lr: float, num_warmup_steps: int,
     return schedule
 
 
+def polynomial_schedule_with_warmup(base_lr: float, num_warmup_steps: int,
+                                    num_training_steps: int,
+                                    lr_end: float = 1e-7,
+                                    power: float = 1.0) -> Callable:
+    """HF get_polynomial_decay_schedule_with_warmup (registered by
+    lvdm/lr_scheduler.py:231): linear warm-up, then
+    (lr0 - lr_end) * (1 - progress)^power + lr_end, then lr_end."""
+
+    def schedule(step):
+        step = jnp.asarray(step, jnp.float32)
+        warm = base_lr * step / jnp.maximum(1.0, num_warmup_steps)
+        remaining = 1.0 - (step - num_warmup_steps) / jnp.maximum(
+            1.0, num_training_steps - num_warmup_steps)
+        decay = (base_lr - lr_end) * remaining ** power + lr_end
+        return jnp.where(step < num_warmup_steps, warm,
+                         jnp.where(step > num_training_steps, lr_end, decay))
+
+    return schedule
+
+
 def constant_schedule(base_lr: float, num_warmup_steps: int = 0) -> Callable:
     def schedule(step):
         step = jnp.asarray(step, jnp.float32)
@@ -87,6 +107,9 @@ def get_schedule(name: str, base_lr: float, *, num_warmup_steps: int = 0,
             min_lr_ratio=min_lr_ratio)
     if name == "linear":
         return linear_schedule_with_warmup(
+            base_lr, num_warmup_steps, num_training_steps)
+    if name == "polynomial":
+        return polynomial_schedule_with_warmup(
             base_lr, num_warmup_steps, num_training_steps)
     raise ValueError(f"unknown scheduler {name!r}")
 

@@ -89,8 +89,14 @@ class Trainer:
         def _melk(signum, frame):  # SIGUSR1 -> checkpoint (main.py:881-893)
             melk_requested["flag"] = True
 
+        def _divein(signum, frame):  # SIGUSR2 -> debugger (main.py:893-900)
+            if jax.process_index() == 0:
+                import pdb
+                pdb.Pdb().set_trace(frame)
+
         try:
             signal.signal(signal.SIGUSR1, _melk)
+            signal.signal(signal.SIGUSR2, _divein)
         except (ValueError, OSError):
             pass  # non-main thread
 
@@ -120,13 +126,23 @@ class Trainer:
                     from cvvae_tpu.training.logging import should_log_images
                     if should_log_images(step, self.images.every):
                         # extra forward for the recon panels (reference
-                        # ImageLogger cadence, main.py:310-478)
+                        # ImageLogger cadence, main.py:310-478) + patch-
+                        # disc logit heatmaps (discriminator_loss.py:98)
+                        from cvvae_tpu.models.discriminator import \
+                            apply_disc3d
                         x = batch["frames"]
                         _, _, _, xrec, x_t = engine._forward(
                             engine_params(state), x,
                             jax.random.PRNGKey(step))
+                        xrec = xrec[:x.shape[0]]
+                        lg_r = apply_disc3d(state.disc_params, x,
+                                            engine.cfg.disc)
+                        lg_f = apply_disc3d(state.disc_params, xrec,
+                                            engine.cfg.disc)
                         self.images.log(step, np.asarray(x),
-                                        np.asarray(xrec[:x.shape[0]]))
+                                        np.asarray(xrec),
+                                        logits_real=np.asarray(lg_r),
+                                        logits_fake=np.asarray(lg_f))
                 self.ckpt.maybe_save(
                     step, state,
                     metrics={f"train/{k}": v for k, v in metrics.items()})

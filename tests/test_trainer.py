@@ -233,3 +233,30 @@ def test_fit_writes_image_panels(tmp_path):
                       image_every=1, log_every=0)
     trainer.fit(data_iter())
     assert glob.glob(os.path.join(logdir, "images", "train_*.png"))
+
+
+def test_polynomial_schedule_matches_hf_formula():
+    from cvvae_tpu.training.optim import get_schedule
+    lr0, lr_end, warm, total, power = 1e-4, 1e-7, 10, 100, 1.0
+    s = get_schedule("polynomial", lr0, num_warmup_steps=warm,
+                     num_training_steps=total)
+    assert float(s(0)) == 0.0
+    np.testing.assert_allclose(float(s(5)), lr0 * 0.5, rtol=1e-6)
+    for step in (10, 40, 100, 150):
+        rem = max(0.0, 1 - (step - warm) / (total - warm))
+        want = (lr0 - lr_end) * rem ** power + lr_end if step <= total \
+            else lr_end
+        np.testing.assert_allclose(float(s(step)), want, rtol=1e-5,
+                                   err_msg=str(step))
+
+
+def test_image_logger_logit_overlays(tmp_path):
+    from cvvae_tpu.training.logging import ImageLogger
+    il = ImageLogger(str(tmp_path), every=1)
+    rng = np.random.RandomState(0)
+    x = rng.randn(1, 4, 16, 16, 3).astype(np.float32)
+    lg = rng.randn(1, 2, 4, 4, 1).astype(np.float32)
+    path = il.log(1, x, x * 0.5, logits_real=lg, logits_fake=-lg)
+    import cv2
+    img = cv2.imread(path)
+    assert img.shape == (6 * 16, 4 * 16, 3)  # 4 std rows + 2 overlay rows
