@@ -115,6 +115,19 @@ class VideoVAE:
             dec = lambda p, z: vae_sd3.apply_decoder(p, z, net)
         else:
             raise ValueError(f"unknown family {config.family}")
+        if self._is_quantized(params):
+            # int8 convs + the Pallas flash kernel in one program is a
+            # ~10x pathology on v5e — trace with exact attention instead
+            # (see ops.attention.no_flash_attention)
+            from cvvae_tpu.ops.attention import no_flash_attention
+
+            def _noflash(fn):
+                def wrapped(p, x):
+                    with no_flash_attention():
+                        return fn(p, x)
+                return wrapped
+
+            enc, dec = _noflash(enc), _noflash(dec)
         self._enc_fn, self._dec_fn = enc, dec
         self._enc = jax.jit(enc)
         self._dec = jax.jit(dec)
@@ -129,6 +142,24 @@ class VideoVAE:
         self._sp_dec = jax.jit(lambda p, z: self._spatial_tiled(
             z, lambda v: dec(p, v), config.latent_tile_size,
             config.pixel_tile_size))
+
+    @staticmethod
+    def _is_quantized(params) -> bool:
+        found = []
+
+        def visit(node):
+            if isinstance(node, dict):
+                if "kernel_q" in node:
+                    found.append(True)
+                else:
+                    for v in node.values():
+                        visit(v)
+            elif isinstance(node, (list, tuple)):
+                for v in node:
+                    visit(v)
+
+        visit(params)
+        return bool(found)
 
     # ------------------------------------------------------------------
     # construction

@@ -18,6 +18,7 @@ frame; ``query_chunk_size`` bounds that via a lax.scan over query blocks
 
 from __future__ import annotations
 
+import contextlib
 import math
 from typing import Optional
 
@@ -83,7 +84,32 @@ def _flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     return out[:, 0, :s]
 
 
+_DISABLE_FLASH = False
+
+
+@contextlib.contextmanager
+def no_flash_attention():
+    """Trace-time switch to the exact/chunked attention path.
+
+    An XLA program that mixes int8 convolutions with the Pallas flash
+    kernel is ~10x slower end-to-end on v5e (measured: the quantized v1
+    encoder at a 576px tile runs 2.4 s with flash vs 210 ms with exact
+    attention — layout assignment around the custom call thrashes every
+    conv).  The quantized VideoVAE wraps its traced functions in this
+    context; exact attention at the mid-block sizes costs only a few ms.
+    """
+    global _DISABLE_FLASH
+    prev = _DISABLE_FLASH
+    _DISABLE_FLASH = True
+    try:
+        yield
+    finally:
+        _DISABLE_FLASH = prev
+
+
 def _flash_usable(q: jax.Array) -> bool:
+    if _DISABLE_FLASH:
+        return False
     if q.dtype != jnp.bfloat16 or q.shape[1] < 1024:
         return False
     platform = jax.devices()[0].platform

@@ -84,12 +84,19 @@ def conv_int8(xq: jax.Array, scale_x: jax.Array, kernel_fp: jax.Array,
     return (y.astype(jnp.float32) * (scale_x * scale_w)).astype(out_dtype)
 
 
-def quantize_conv_params(params, *, min_cin: int = 64, min_cout: int = 16):
+def quantize_conv_params(params, *, min_cin: int = 64, min_cout: int = 16,
+                         skip_paths: Tuple[str, ...] = ("mid",)):
     """Walk a model params tree; replace eligible conv kernels with
     int8 + per-channel scales.  A conv leaf-dict {kernel, bias?} whose
     kernel is 5D with C_in >= min_cin, C_out >= min_cout (keeps the
     latent/RGB heads in bf16) and kT*kH*kW > 1 becomes
-    {kernel_q, scale_w, bias?}.  Everything else is untouched."""
+    {kernel_q, scale_w, bias?}.  Everything else is untouched.
+
+    ``skip_paths``: subtrees whose key contains any of these substrings
+    stay fp.  Default skips the attention mid-blocks: int8 convs
+    interleaved with the Pallas flash-attention kernel measured ~100x
+    slower on v5e (layout thrash), and the mid block is ~5% of the
+    per-tile time anyway."""
 
     def walk(node):
         if isinstance(node, dict):
@@ -102,7 +109,9 @@ def quantize_conv_params(params, *, min_cin: int = 64, min_cout: int = 16):
                 if "bias" in node:
                     out["bias"] = node["bias"]
                 return out
-            return {key: walk(v) for key, v in node.items()}
+            return {key: (v if any(s in str(key) for s in skip_paths)
+                          else walk(v))
+                    for key, v in node.items()}
         if isinstance(node, (list, tuple)):
             t = type(node)
             return t(walk(v) for v in node)

@@ -16,6 +16,9 @@ import jax
 import jax.numpy as jnp
 
 
+QUANTIZED = False
+
+
 def time_prefixes(named_stages, x0, iters):
     """named_stages: list[(name, fn h->h)].  Returns {name: seconds}.
 
@@ -29,9 +32,15 @@ def time_prefixes(named_stages, x0, iters):
         stages = list(fns)
 
         def prefix(h, stages=stages):
-            for s in stages:
-                h = s(h)
-            return jnp.sum(h.astype(jnp.float32))
+            import contextlib
+
+            from cvvae_tpu.ops.attention import no_flash_attention
+            ctx = (no_flash_attention() if QUANTIZED
+                   else contextlib.nullcontext())
+            with ctx:
+                for s in stages:
+                    h = s(h)
+                return jnp.sum(h.astype(jnp.float32))
 
         jf = jax.jit(prefix)
         float(jf(x0))  # compile + warm; scalar fetch = real barrier
@@ -163,6 +172,8 @@ def main():
         enc = quantize_conv_params(enc)
         dec = quantize_conv_params(dec)
         tag += "+int8"
+        global QUANTIZED
+        QUANTIZED = True
 
     x = jax.random.normal(kx, (1, args.frames, args.tile, args.tile, 3), dtype)
     tz = 1 + (args.frames - 1) // 4
