@@ -91,30 +91,42 @@ def init_disc2d(key, cfg: Disc2DConfig, dtype=jnp.float32) -> dict:
 
 
 def apply_disc2d(params: dict, x: jax.Array, cfg: Disc2DConfig,
-                 train: bool = True) -> jax.Array:
+                 train: bool = True, update_stats: bool = False):
     """x: (B, T, H, W, C) -> per-frame patch logits (B, T, H', W', 1).
 
     The 2D discriminator sees frames independently (the loss folds T into
     batch, discriminator_loss.py:239-244); we keep T as an axis and use
     (1,4,4) kernels — identical math.  BatchNorm uses batch statistics in
-    train mode (running stats are not updated functionally here; the
-    engine threads them if needed).
+    train mode; with ``update_stats=True`` the call also returns a new
+    params tree whose BN running mean/var are advanced with torch's
+    momentum-0.1 rule, for the caller to thread through its train state
+    (torch mutates ``running_mean``/``running_var`` in place;
+    functionally the update is an explicit output).
     """
     b, t = x.shape[0], x.shape[1]
     h = x.reshape((b * t, 1) + x.shape[2:])  # fold frames for batch stats
     n_layers = len(params["layers"])
+    new_layers = []
     for i, layer in enumerate(params["layers"]):
         stride = _disc2d_channels(cfg)[i][2]
         h = conv3d(h, layer["conv"], _disc2d_spec(stride))
+        new_layer = layer
         if "bn" in layer:
             if train:
-                h, _ = batch_norm_train(h, layer["bn"])
+                h, stats = batch_norm_train(h, layer["bn"])
+                if update_stats:
+                    new_layer = dict(layer)
+                    new_layer["bn"] = dict(layer["bn"], **stats)
             else:
                 from cvvae_tpu.ops.norm import batch_norm_inference
                 h = batch_norm_inference(h, layer["bn"])
+        new_layers.append(new_layer)
         if i < n_layers - 1:
             h = leaky_relu(h, 0.2)
-    return h.reshape((b, t) + h.shape[2:])
+    logits = h.reshape((b, t) + h.shape[2:])
+    if update_stats:
+        return logits, {"layers": new_layers}
+    return logits
 
 
 # ---------------------------------------------------------------------------

@@ -189,14 +189,39 @@ class VideoVAE:
         params = jax.tree.map(lambda a: a.astype(dtype), self.params)
         return VideoVAE(self.config, params)
 
-    def quantize(self, *, min_cin: int = 64) -> "VideoVAE":
+    def quantize(self, *, min_cin: int = 64, calibration=None,
+                 margin: float = 1.1) -> "VideoVAE":
         """int8 serving mode: per-channel weight quantization of the big
-        convs + dynamic per-tensor activation quantization (see
-        ops/quant.py).  ~1.5x conv-path throughput on TPU v5e; quality-
-        gated vs the bf16 path in tests/test_quant.py."""
-        from cvvae_tpu.ops.quant import quantize_conv_params
+        convs (see ops/quant.py); quality-gated vs the bf16 path in
+        tests/test_quant.py.
+
+        Activation scales: with ``calibration`` (a (B,T,H,W,3) pixel
+        clip — keep it small, e.g. a 17x256x256 window of the video to
+        be served: the scales are content statistics, and the pass runs
+        eagerly, which holds more intermediates live than a compiled
+        program would), one eager encode+decode records per-conv
+        activation maxima and bakes
+        static scales (* ``margin``) into the params — quantization then
+        fuses into each conv's producer instead of costing a separate
+        max-reduction pass per conv (the difference between ~1.05x and
+        ~1.3x end-to-end on v5e).  Without it, scales are computed
+        dynamically per tensor."""
+        from cvvae_tpu.ops.quant import (attach_activation_scales,
+                                         calibration_scope,
+                                         quantize_conv_params)
+        qparams = quantize_conv_params(self.params, min_cin=min_cin)
+        if calibration is None:
+            return VideoVAE(self.config, qparams)
+        q = VideoVAE(self.config, qparams)
+        act_dtype = jax.tree.leaves(self.params)[0].dtype
+        x = jnp.asarray(calibration, act_dtype)
+        with calibration_scope() as rec:
+            moments = q._enc_fn(qparams["encoder"], x)
+            z = moments[..., : moments.shape[-1] // 2]
+            q._dec_fn(qparams["decoder"], z)
         return VideoVAE(self.config,
-                        quantize_conv_params(self.params, min_cin=min_cin))
+                        attach_activation_scales(qparams, rec,
+                                                 margin=margin))
 
     def with_mesh(self, mesh, axis: str = "data") -> "VideoVAE":
         """Multi-chip inference: shard the H axis of every net call over

@@ -116,31 +116,49 @@ def _flash_usable(q: jax.Array) -> bool:
     return platform not in ("cpu",)
 
 
+def _me_attention(q: jax.Array, k: jax.Array, v: jax.Array, scale: float,
+                  q_chunk: int = 512) -> jax.Array:
+    """Memory-efficient exact attention in pure XLA (no custom call).
+
+    Flash-style query blocking via lax.scan with a full-row softmax per
+    block — never materialises the (S, S) score matrix, so it stays fast
+    inside programs where the Pallas kernel cannot be used (the int8
+    path, CPU).  Numerically exact (fp32 logits/softmax).  S is padded
+    to a q_chunk multiple; padded QUERY rows produce garbage rows that
+    are sliced off (keys are never padded, so valid rows see the true
+    distribution).
+    """
+    b, s, c = q.shape
+    s_pad = -(-s // q_chunk) * q_chunk
+    q_p = jnp.pad(q, ((0, 0), (0, s_pad - s), (0, 0))) if s_pad != s else q
+    n_blocks = s_pad // q_chunk
+    q_blocks = jnp.moveaxis(
+        q_p.reshape(b, n_blocks, q_chunk, c), 1, 0)
+
+    def body(carry, q_blk):
+        return carry, _attention_block(q_blk, k, v, scale)
+
+    _, out = jax.lax.scan(body, None, q_blocks)
+    out = jnp.moveaxis(out, 0, 1).reshape(b, s_pad, c)
+    return out[:, :s]
+
+
 def single_head_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
                           scale: Optional[float] = None,
-                          query_chunk_size: int = 2048) -> jax.Array:
+                          query_chunk_size: int = 512) -> jax.Array:
     """Single-head scaled dot-product attention on (B, S, C) tensors."""
     s = q.shape[1]
     if scale is None:
         scale = 1.0 / math.sqrt(q.shape[-1])
     if _flash_usable(q):
         return _flash_attention(q, k, v, scale)
-    if s <= query_chunk_size or s % query_chunk_size:
+    if s <= query_chunk_size:
         return _attention_block(q, k, v, scale)
-    n_blocks = s // query_chunk_size
-    q_blocks = q.reshape(q.shape[0], n_blocks, query_chunk_size, q.shape[-1])
-    q_blocks = jnp.moveaxis(q_blocks, 1, 0)
-
-    def body(carry, q_blk):
-        return carry, _attention_block(q_blk, k, v, scale)
-
-    _, out = jax.lax.scan(body, None, q_blocks)
-    out = jnp.moveaxis(out, 0, 1)
-    return out.reshape(q.shape)
+    return _me_attention(q, k, v, scale, query_chunk_size)
 
 
 def spatial_self_attention(x: jax.Array, wq: dict, wk: dict, wv: dict, *,
-                           query_chunk_size: int = 2048) -> jax.Array:
+                           query_chunk_size: int = 512) -> jax.Array:
     """Per-frame single-head spatial attention.
 
     x: (B, T, H, W, C) -> same shape.  Projections are channel-denses

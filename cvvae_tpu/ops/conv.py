@@ -153,7 +153,9 @@ def conv3d(x: jax.Array, params: dict, spec: Conv3DSpec, *,
     shapes are static at trace time so the choice is free."""
     if "kernel_q" in params:
         from cvvae_tpu.ops.quant import (
-            INT8_MIN_POSITIONS, conv3d_int8, dequantize_kernel)
+            INT8_MIN_POSITIONS, conv3d_int8, dequantize_kernel,
+            maybe_record_act)
+        maybe_record_act(params, x)
         if x.shape[1] * x.shape[2] * x.shape[3] >= INT8_MIN_POSITIONS:
             return conv3d_int8(x, params, spec, precision=precision)
         params = dict(params, kernel=dequantize_kernel(params))

@@ -32,10 +32,12 @@ gated against the bf16 path.
 
 from __future__ import annotations
 
-from typing import Tuple
+import contextlib
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from cvvae_tpu.ops.conv import Conv3DSpec, _edge_pad
@@ -68,6 +70,79 @@ def quantize_act(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
     scale = jnp.maximum(jnp.max(jnp.abs(xf)) / 127.0, 1e-12)
     xq = jnp.clip(jnp.round(xf / scale), -127, 127).astype(jnp.int8)
     return xq, scale
+
+
+def quantize_act_static(x: jax.Array, scale: jax.Array) -> jax.Array:
+    """Symmetric int8 with a calibrated scale: a pure elementwise op
+    (no max reduction), so XLA fuses it into the producing kernel."""
+    xq = jnp.round(x.astype(jnp.float32) / scale)
+    return jnp.clip(xq, -127, 127).astype(jnp.int8)
+
+
+# ---------------------------------------------------------------------------
+# activation-scale calibration
+#
+# Dynamic per-tensor quantization costs a full-tensor max REDUCTION plus
+# a separate quantize pass per conv — an O(T*H*W*C) HBM tax that cancels
+# most of the int8 MXU gain exactly where the FLOPs are biggest
+# (measured: enc_level0 at a 720px tile gains 4 ms of an expected ~60).
+# Calibration replaces it with a static per-conv scale recorded from a
+# representative input, making quantization a fusable elementwise op.
+# ---------------------------------------------------------------------------
+
+_CALIB: Optional[dict] = None
+
+
+@contextlib.contextmanager
+def calibration_scope():
+    """Record per-conv activation maxima into the yielded dict.
+
+    Model applies inside the scope must run EAGERLY (not under jit) —
+    recording keys off the identity of each conv's params dict, which
+    tracing would hide.  Use :func:`attach_activation_scales` afterwards.
+    """
+    global _CALIB
+    prev = _CALIB
+    _CALIB = {}
+    try:
+        yield _CALIB
+    finally:
+        _CALIB = prev
+
+
+def maybe_record_act(params: dict, x: jax.Array) -> None:
+    """Inside a calibration_scope, record max|x| for this conv's params
+    dict (no-op otherwise)."""
+    if _CALIB is None:
+        return
+    if isinstance(x, jax.core.Tracer):
+        raise RuntimeError(
+            "activation-scale calibration must run eagerly (not under "
+            "jit): the recorder keys off params-dict identity")
+    m = float(jnp.max(jnp.abs(x.astype(jnp.float32))))
+    key = id(params)
+    _CALIB[key] = max(_CALIB.get(key, 0.0), m)
+
+
+def attach_activation_scales(params, calib: dict, *,
+                             margin: float = 1.1):
+    """Return a params tree where every quantized conv dict that was
+    seen during calibration gains a ``scale_x`` leaf
+    (= recorded_max * margin / 127).  Values beyond the calibrated range
+    clip at +-127 at serving time; ``margin`` buys headroom for inputs
+    hotter than the calibration clip."""
+
+    def walk(node):
+        if isinstance(node, dict):
+            if "kernel_q" in node and id(node) in calib:
+                scale = max(calib[id(node)] * margin / 127.0, 1e-12)
+                return dict(node, scale_x=jnp.float32(scale))
+            return {k: walk(v) for k, v in node.items()}
+        if isinstance(node, (list, tuple)):
+            return type(node)(walk(v) for v in node)
+        return node
+
+    return walk(params)
 
 
 def conv_int8(xq: jax.Array, scale_x: jax.Array, kernel_fp: jax.Array,
@@ -124,12 +199,18 @@ def conv3d_int8(x: jax.Array, params: dict, spec: Conv3DSpec, *,
                 precision=None) -> jax.Array:
     """Quantized conv with the same padding semantics as conv3d.
 
-    Dynamic per-tensor activation scale; edge padding is materialised on
-    the int8 tensor (half the HBM bytes of bf16 — cheaper than the bf16
-    edge-pad it replaces), zero padding folds into the conv window.
+    Activation scale: calibrated static (``params["scale_x"]``, fusable
+    elementwise quantize) when present, else dynamic per-tensor (extra
+    max-reduction pass).  Edge padding is materialised on the int8
+    tensor (half the HBM bytes of bf16 — cheaper than the bf16 edge-pad
+    it replaces), zero padding folds into the conv window.
     """
     out_dtype = x.dtype
-    xq, scale_x = quantize_act(x)
+    scale_x = params.get("scale_x")
+    if scale_x is not None:
+        xq = quantize_act_static(x, scale_x)
+    else:
+        xq, scale_x = quantize_act(x)
     xq = _edge_pad(xq, spec.pads, spec.modes)
     lax_padding = [tuple(pad) if mode == "zero" else (0, 0)
                    for pad, mode in zip(spec.pads, spec.modes)]

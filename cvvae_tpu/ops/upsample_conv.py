@@ -106,6 +106,7 @@ def upsample2x_conv3x3_interleave(x: jax.Array, params: dict, *,
     quantized = "kernel_q" in params
     if quantized:
         from cvvae_tpu.ops import quant
+        quant.maybe_record_act(params, x)
         kernel = quant.dequantize_kernel(params).astype(jnp.float32)
         quantized = (x.shape[1] * x.shape[2] * x.shape[3]
                      >= quant.INT8_MIN_POSITIONS)
@@ -129,7 +130,11 @@ def upsample2x_conv3x3_interleave(x: jax.Array, params: dict, *,
     corners = (("even", "even"), ("even", "odd"),
                ("odd", "even"), ("odd", "odd"))
     if quantized:
-        xq, sx = quant.quantize_act(x)
+        sx = params.get("scale_x")
+        if sx is not None:
+            xq = quant.quantize_act_static(x, sx)
+        else:
+            xq, sx = quant.quantize_act(x)
         phases = [quant.conv_int8(xq, sx, ks[idx],
                                   [t_lax, pads[hp], pads[wp]], x.dtype)
                   for idx, (hp, wp) in enumerate(corners)]

@@ -115,3 +115,60 @@ def test_disc2d_output_contract():
     # 4x4 stride-2 x3 then two stride-1: 64 -> 8 - receptive offsets
     assert y.shape[0] == 1 and y.shape[1] == 4 and y.shape[-1] == 1
     assert np.isfinite(np.asarray(y)).all()
+
+
+def test_batch_norm_train_running_stats_match_torch():
+    """batch_norm_train's running update == torch.nn.BatchNorm2d
+    (momentum 0.1, unbiased running var)."""
+    from cvvae_tpu.ops.norm import batch_norm_train
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(4, 6, 5, 8)).astype(np.float32)  # NCHW for torch
+    bn = torch.nn.BatchNorm2d(6, eps=1e-5, momentum=0.1)
+    with torch.no_grad():
+        bn.weight.copy_(torch.from_numpy(
+            rng.normal(1.0, 0.02, size=6).astype(np.float32)))
+        bn.bias.zero_()
+    y_t = bn(torch.from_numpy(x)).detach().numpy()
+
+    params = {
+        "scale": jnp.asarray(bn.weight.detach().numpy()),
+        "bias": jnp.zeros((6,)),
+        "mean": jnp.zeros((6,)),
+        "var": jnp.ones((6,)),
+    }
+    x_j = jnp.transpose(jnp.asarray(x), (0, 2, 3, 1))  # NHWC
+    y_j, stats = batch_norm_train(x_j, params)
+    np.testing.assert_allclose(np.transpose(np.asarray(y_j), (0, 3, 1, 2)),
+                               y_t, atol=1e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(stats["mean"]),
+                               bn.running_mean.numpy(), atol=1e-6, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(stats["var"]),
+                               bn.running_var.numpy(), atol=1e-6, rtol=1e-5)
+
+
+def test_disc2d_threads_bn_running_stats():
+    """update_stats=True returns advanced BN running stats that the
+    inference path then consumes; logits are unchanged by the flag."""
+    from cvvae_tpu.models.discriminator import (
+        Disc2DConfig, apply_disc2d, init_disc2d)
+    cfg = Disc2DConfig(ndf=8, n_layers=3)
+    params = init_disc2d(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 2, 32, 32, 3))
+    y_plain = apply_disc2d(params, x, cfg, train=True)
+    y, new_params = apply_disc2d(params, x, cfg, train=True,
+                                 update_stats=True)
+    np.testing.assert_array_equal(np.asarray(y), np.asarray(y_plain))
+    changed = False
+    for old, new in zip(params["layers"], new_params["layers"]):
+        if "bn" in old:
+            assert not np.allclose(np.asarray(old["bn"]["mean"]),
+                                   np.asarray(new["bn"]["mean"]))
+            changed = True
+            # conv params are threaded through untouched
+            assert old["conv"] is new["conv"]
+    assert changed
+    # eval mode consumes the updated stats (different output from the
+    # stale-stats eval pass)
+    y_eval_new = apply_disc2d(new_params, x, cfg, train=False)
+    y_eval_old = apply_disc2d(params, x, cfg, train=False)
+    assert not np.allclose(np.asarray(y_eval_new), np.asarray(y_eval_old))

@@ -99,3 +99,74 @@ def test_videovae_int8_quality_gate():
     agreement_db = float(jnp.mean(psnr(r_fp, r_q,
                                        data_range=float(jnp.max(jnp.abs(r_fp)) * 2))))
     assert agreement_db >= 30.0, agreement_db
+
+
+def test_conv3d_int8_static_scale_matches_dynamic():
+    """With scale_x set to the dynamic max-scale, the static path is
+    bit-identical to dynamic quantization."""
+    from cvvae_tpu.ops.quant import conv3d_int8
+    spec = Conv3DSpec.v1_plain()
+    params = quantize_conv_params(
+        conv_init(jax.random.PRNGKey(0), spec, 64, 64), min_cin=1)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 6, 64, 64, 64),
+                          jnp.bfloat16)
+    y_dyn = conv3d_int8(x, params, spec)
+    sx = jnp.maximum(jnp.max(jnp.abs(x.astype(jnp.float32))) / 127.0, 1e-12)
+    y_static = conv3d_int8(x, dict(params, scale_x=sx), spec)
+    np.testing.assert_array_equal(np.asarray(y_dyn), np.asarray(y_static))
+
+
+def test_videovae_calibrated_int8():
+    """quantize(calibration=...) bakes static scales; the static-scale
+    roundtrip stays within the PSNR budget and matches the dynamic int8
+    path closely."""
+    from cvvae_tpu.models.vae_v1 import VAE1Config
+    from cvvae_tpu.models.video_vae import VideoVAE, VideoVAEConfig
+    from cvvae_tpu.utils.metrics import psnr
+
+    cfg = VideoVAEConfig(
+        family="v1",
+        net=VAE1Config(ch=64, ch_mult=(1, 2), num_res_blocks=1,
+                       z_channels=4, norm_num_groups=32),
+        tile_spatial_size=None, en_de_n_frames_a_time=None)
+    vae = VideoVAE.from_config(cfg, seed=0)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 5, 96, 96, 3)) * 0.5
+
+    vae_static = vae.quantize(calibration=x)
+    n_scales = len([l for l in jax.tree_util.tree_leaves(
+        jax.tree.map(lambda a: getattr(a, "ndim", None) == 0,
+                     vae_static.params)) if np.asarray(l)])
+    assert n_scales > 0, "no static scales attached"
+
+    r_fp = np.asarray(vae.reconstruct(x))
+    r_static = np.asarray(vae_static.reconstruct(x))
+    rng = float(np.max(np.abs(r_fp))) * 2
+    static_db = float(jnp.mean(psnr(jnp.asarray(r_fp),
+                                    jnp.asarray(r_static), data_range=rng)))
+    assert static_db >= 30.0, static_db
+
+    # on an unseen clip from the same distribution the calibrated scales
+    # must still hold up (margin headroom)
+    x2 = jax.random.normal(jax.random.PRNGKey(7), (1, 5, 96, 96, 3)) * 0.5
+    r_fp2 = np.asarray(vae.reconstruct(x2))
+    r_s2 = np.asarray(vae_static.reconstruct(x2))
+    rng2 = float(np.max(np.abs(r_fp2))) * 2
+    db2 = float(jnp.mean(psnr(jnp.asarray(r_fp2), jnp.asarray(r_s2),
+                              data_range=rng2)))
+    assert db2 >= 28.0, db2
+
+
+def test_calibration_requires_eager():
+    from cvvae_tpu.ops.quant import calibration_scope, maybe_record_act
+    params = quantize_conv_params(
+        conv_init(jax.random.PRNGKey(0), Conv3DSpec.v1_plain(), 64, 64),
+        min_cin=1)
+
+    @jax.jit
+    def f(x):
+        maybe_record_act(params, x)
+        return x
+
+    with calibration_scope():
+        with pytest.raises(RuntimeError, match="eagerly"):
+            f(jnp.ones((1, 2, 4, 4, 64)))
