@@ -14,6 +14,7 @@ cvvae_tpu.utils.config.instantiate_from_config.
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import datetime
 import os
 from typing import Dict, Iterator
@@ -27,6 +28,10 @@ def build_engine(model_cfg: Dict):
 
     engine_cfg = instantiate_from_config(model_cfg["engine"])
     assert isinstance(engine_cfg, EngineConfig)
+    if "donate_state" not in model_cfg.get("engine", {}).get("params", {}):
+        # real runs consume the state linearly — donate by default for
+        # the HBM headroom (tests construct EngineConfig directly)
+        engine_cfg = dataclasses.replace(engine_cfg, donate_state=True)
     kwargs = {}
     ckpt = model_cfg.get("ckpt_path")
     frozen = model_cfg.get("frozen_ckpts", {})

@@ -61,6 +61,19 @@ class EngineConfig:
     constraint_encoder: Optional[VAE2DConfig] = None
     ema_decay: Optional[float] = None
     remat: bool = True
+    #: "float32" (reference parity: the reference trains fp32, yaml:177)
+    #: or "bfloat16" — TPU-native mixed precision: params/optimizer/EMA
+    #: stay fp32, net+disc compute runs bf16 (GroupNorm statistics,
+    #: softmax and every loss reduction are fp32 inside the ops/losses
+    #: already), roughly halving training HBM and using the MXU's bf16
+    #: rate.  The shipped-scale recipe (bs 8x320px images) only fits a
+    #: 16 GB v5e chip in this mode.
+    compute_dtype: str = "float32"
+    #: donate the input TrainState to the jitted step: params/optimizer
+    #: buffers update in place instead of double-residing in HBM.  Off
+    #: by default because a donated state must not be read after the
+    #: call (tests inspect it); train.py turns it on for real runs.
+    donate_state: bool = False
     #: freeze modes (reference `trainable`, autoencoder.py:223-234)
     frozen_modules: Tuple[str, ...] = ()
 
@@ -133,9 +146,31 @@ class TrainingEngine:
             self.frozen["constraint_encoder"] = (
                 constraint_encoder_params
                 or vae2d.init_encoder2d(k_ce, cfg.constraint_encoder))
+        if cfg.compute_dtype != "float32":
+            # frozen nets are inference-only: store them directly in the
+            # compute dtype (halves their HBM residency)
+            self.frozen = self._cast_compute(self.frozen)
         self.opt_g = make_optimizer(cfg.optim, cfg.optim.lr_g_factor)
         self.opt_d = make_optimizer(cfg.optim, 1.0)
-        self._jitted_step = jax.jit(self._train_step)
+        self._jitted_step = jax.jit(
+            self._train_step,
+            donate_argnums=(0,) if cfg.donate_state else ())
+
+    def _cast_compute(self, tree):
+        """Cast float non-scalar leaves to the compute dtype (identity
+        in fp32 mode).  0-d leaves (learned logvars, quant scales) stay
+        fp32 — they feed fp32 loss math directly."""
+        cdtype = jnp.dtype(self.cfg.compute_dtype)
+        if cdtype == jnp.float32:
+            return tree
+
+        def cast(a):
+            if (hasattr(a, "dtype") and a.dtype == jnp.float32
+                    and getattr(a, "ndim", 0) > 0):
+                return a.astype(cdtype)
+            return a
+
+        return jax.tree.map(cast, tree)
 
     # ------------------------------------------------------------------
     # state
@@ -186,6 +221,8 @@ class TrainingEngine:
         x_target) where x_target is the doubled input when applicable.
         """
         cfg = self.cfg
+        params = self._cast_compute(params)
+        x = x.astype(jnp.dtype(cfg.compute_dtype))
         moments = cfg.nets.apply_encoder(params["encoder"], x, cfg.net,
                                          remat=cfg.remat)
         x_target = x
@@ -218,7 +255,11 @@ class TrainingEngine:
         x = batch["frames"]
         rng_s, rng_t = jax.random.split(rng)
         posterior, z, h, xrec, x_target = self._forward(params, x, rng_s)
-        kl_loss = jnp.mean(posterior.kl())
+        # KL reduces over millions of elements: fp32 regardless of the
+        # compute dtype
+        post32 = DiagonalGaussian(posterior.mean.astype(jnp.float32),
+                                  posterior.logvar.astype(jnp.float32))
+        kl_loss = jnp.mean(post32.kl())
 
         logvar = self._logvar(params, "logvar")
         rec = rec_with_perceptual(loss_cfg, self.frozen["lpips"], x_target, xrec)

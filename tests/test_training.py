@@ -166,3 +166,48 @@ def test_single_frame_image_batch():
     assert np.isfinite(float(m1["loss/total"]))
     s2, m2 = eng.train_step(s1, batch, jax.random.PRNGKey(3))
     assert np.isfinite(float(m2["loss/disc"]))
+
+
+def test_bf16_compute_mode():
+    """compute_dtype='bfloat16': params/opt state stay fp32, a G+D pair
+    runs finite, and the G loss tracks the fp32 engine loosely (same
+    seed/weights; bf16 rounding only)."""
+    net = VAESD3Config(block_out_channels=(8, 8, 8, 8), layers_per_block=1,
+                       latent_channels=4, norm_num_groups=4)
+
+    def build(compute):
+        cfg = EngineConfig(
+            family="sd3", net=net,
+            disc=Disc3DConfig(ndf=8, n_layers=2, norm_groups=4),
+            loss=LossConfig(perceptual_weight=0.0, disc_start=0),
+            optim=OptimConfig(base_lr=1e-3, num_warmup_steps=0,
+                              num_training_steps=100),
+            constraint="latent",
+            constraint_decoder=VAE2DConfig(
+                naming="sd3", latent_channels=4,
+                block_out_channels=(8, 8, 8, 8), layers_per_block=1,
+                norm_num_groups=4),
+            remat=False, compute_dtype=compute)
+        return TrainingEngine(cfg, seed=0)
+
+    batch = {"frames": jax.random.normal(
+        jax.random.PRNGKey(1), (1, 5, 32, 32, 3)) * 0.5}
+    rng = jax.random.PRNGKey(2)
+
+    e32, e16 = build("float32"), build("bfloat16")
+    s32 = e32.init_state(jax.random.PRNGKey(0))
+    s16 = e16.init_state(jax.random.PRNGKey(0))
+
+    s16_g, m16 = e16.train_step(s16, batch, rng)
+    _, m32 = e32.train_step(s32, batch, rng)
+    for k, v in m16.items():
+        assert np.isfinite(float(v)), k
+    # fp32 leaves preserved through the bf16 step
+    for leaf in jax.tree_util.tree_leaves(s16_g.params):
+        assert leaf.dtype in (jnp.float32,), leaf.dtype
+    rel = abs(float(m16["loss/rec"]) - float(m32["loss/rec"])) / (
+        abs(float(m32["loss/rec"])) + 1e-9)
+    assert rel < 0.1, (float(m16["loss/rec"]), float(m32["loss/rec"]))
+    # D step runs too
+    s16_d, md = e16.train_step(s16_g, batch, rng)
+    assert np.isfinite(float(md["loss/disc"]))

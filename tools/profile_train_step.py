@@ -32,6 +32,8 @@ def main():
     ap.add_argument("--image_size", type=int, default=320)
     ap.add_argument("--video_frames", type=int, default=17)
     ap.add_argument("--video_size", type=int, default=256)
+    ap.add_argument("--compute", default="float32",
+                    choices=["float32", "bfloat16"])
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--trace", default=None)
     args = ap.parse_args()
@@ -47,12 +49,9 @@ def main():
         loss=LossConfig(perceptual_weight=0.5 if args.perceptual else 0.0,
                         disc_start=0),
         optim=OptimConfig(),
-        remat=args.remat)
+        remat=args.remat, compute_dtype=args.compute, donate_state=True)
     engine = TrainingEngine(cfg, seed=0,
                             allow_random_lpips=args.perceptual)
-    state = engine.init_state(jax.random.PRNGKey(0))
-    state = jax.tree.map(
-        lambda a: a, state)  # concrete
 
     batches = {
         f"image_bs{args.image_bs}_{args.image_size}px": jnp.asarray(
@@ -79,8 +78,9 @@ def main():
     rng = jax.random.PRNGKey(3)
     for name, frames in batches.items():
         batch = {"frames": frames}
-        # G step (even step counter) then D step (odd)
-        st = state
+        # fresh state per batch type: the production step donates its
+        # input state, so a shared starting state would be consumed
+        st = engine.init_state(jax.random.PRNGKey(0))
         t0 = time.perf_counter()
         st, m = engine.train_step(st, batch, rng)
         sync_metrics(m)
