@@ -223,31 +223,64 @@ class VideoVAE:
                         attach_activation_scales(qparams, rec,
                                                  margin=margin))
 
-    def with_mesh(self, mesh, axis: str = "data") -> "VideoVAE":
-        """Multi-chip inference: shard the H axis of every net call over
+    def with_mesh(self, mesh, axis: str = "data",
+                  shard_dim: str = "height") -> "VideoVAE":
+        """Multi-chip inference: shard one axis of every net call over
         ``mesh`` (params replicated).  XLA's SPMD partitioner inserts the
-        conv halo exchanges over ICI — distributed spatial decode with
-        exact seams, beyond the reference's single-device tiling
-        (SURVEY §2.3).  Tiling/chunking semantics are unchanged."""
-        from cvvae_tpu.parallel.mesh import replicated, spatial_sharding
+        conv halo exchanges over ICI — distributed tiling with exact
+        seams, beyond the reference's single-device loops (SURVEY §2.3).
+        Tiling/chunking semantics are unchanged.
+
+        shard_dim: "height" (spatial, default) or "time" (context /
+        sequence parallelism over the frame axis).  The time case
+        requires T divisible by the mesh size — padding cannot be hidden
+        because GroupNorm statistics span the whole sequence (the convs
+        are causal but normalisation is not), so feed mesh-multiple
+        windows (e.g. via the streaming pipeline's chunking).  Output
+        shardings are left to the compiler: v1's temporal interleave
+        gives odd output lengths (4T'-3)."""
+        from cvvae_tpu.parallel.mesh import (replicated, spatial_sharding,
+                                             temporal_sharding)
         other = VideoVAE(self.config, jax.tree.map(
             lambda a: jax.device_put(a, replicated(mesh)), self.params))
-        sharded = spatial_sharding(mesh, axis)
-        enc, dec = other._enc_fn, other._dec_fn
-        other._enc = jax.jit(enc, in_shardings=(None, sharded),
-                             out_shardings=sharded)
-        other._dec = jax.jit(dec, in_shardings=(None, sharded),
-                             out_shardings=sharded)
+        n_shards = int(mesh.shape[axis])
+        if shard_dim == "height":
+            sharded = spatial_sharding(mesh, axis)
+            enc, dec = other._enc_fn, other._dec_fn
+            jit_kw = dict(in_shardings=(None, sharded),
+                          out_shardings=sharded)
+        elif shard_dim == "time":
+            sharded = temporal_sharding(mesh, axis)
+
+            def shard_wrap(fn):
+                def wrapped(p, v):
+                    t = v.shape[1]
+                    if t % n_shards:
+                        raise ValueError(
+                            f"time-sharding over {n_shards} devices needs "
+                            f"T divisible by {n_shards} (got T={t}): "
+                            f"GroupNorm statistics span the sequence, so "
+                            f"padding would change the numerics — feed "
+                            f"mesh-multiple windows")
+                    v = jax.lax.with_sharding_constraint(v, sharded)
+                    return fn(p, v)
+                return wrapped
+
+            enc = shard_wrap(other._enc_fn)
+            dec = shard_wrap(other._dec_fn)
+            jit_kw = {}
+        else:
+            raise ValueError(shard_dim)
+        other._enc = jax.jit(enc, **jit_kw)
+        other._dec = jax.jit(dec, **jit_kw)
         other._sp_enc = jax.jit(
             lambda p, x: other._spatial_tiled(
                 x, lambda v: enc(p, v), other.config.pixel_tile_size,
-                other.config.latent_tile_size),
-            in_shardings=(None, sharded), out_shardings=sharded)
+                other.config.latent_tile_size), **jit_kw)
         other._sp_dec = jax.jit(
             lambda p, z: other._spatial_tiled(
                 z, lambda v: dec(p, v), other.config.latent_tile_size,
-                other.config.pixel_tile_size),
-            in_shardings=(None, sharded), out_shardings=sharded)
+                other.config.pixel_tile_size), **jit_kw)
         return other
 
     # ------------------------------------------------------------------

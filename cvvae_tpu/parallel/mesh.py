@@ -64,6 +64,15 @@ def spatial_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
     return NamedSharding(mesh, P(None, None, axis))
 
 
+def temporal_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    """Shard the T axis of (B, T, H, W, C) video across devices —
+    context-parallel long-video encode/decode (the sequence axis of this
+    model family).  Causal convs need only one-sided halos; the SPMD
+    partitioner inserts the ppermutes.  The reference's substitute is
+    single-device temporal chunking (SURVEY §2.3)."""
+    return NamedSharding(mesh, P(None, axis))
+
+
 def shard_parallel_step(step_fn, mesh: Mesh, *, batch_axis: str = "data",
                         donate_state: bool = True):
     """jit a (state, batch, rng) -> (state, metrics) step over the mesh.

@@ -105,3 +105,60 @@ def test_videovae_with_mesh_matches_single_device():
     x_out = svae.decode(z)
     np.testing.assert_allclose(np.asarray(x_out), np.asarray(x_ref),
                                atol=5e-5, rtol=1e-4)
+
+
+def test_temporal_sharding_matches_unsharded():
+    """T-axis (context-parallel) sharded encode == unsharded: causal
+    conv halos are one-sided ppermutes inserted by the partitioner."""
+    from cvvae_tpu.models.vae_sd3 import VAESD3Config, apply_encoder, init_encoder
+    from cvvae_tpu.parallel.mesh import temporal_sharding
+
+    net = VAESD3Config(block_out_channels=(8, 8, 8, 8), layers_per_block=1,
+                       latent_channels=4, norm_num_groups=4)
+    params = init_encoder(jax.random.PRNGKey(0), net)
+    # context parallelism serves long clips: T must divide by the mesh
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 16, 32, 16, 3))
+    y_ref = apply_encoder(params, x, net)
+
+    mesh = make_mesh(4)
+    xs = jax.device_put(x, temporal_sharding(mesh))
+    enc = jax.jit(lambda p, v: apply_encoder(p, v, net),
+                  in_shardings=(None, temporal_sharding(mesh)))
+    y = enc(params, xs)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               atol=2e-5, rtol=1e-4)
+
+
+@pytest.mark.slow
+def test_videovae_with_mesh_time_matches_single_device():
+    """VideoVAE.with_mesh(shard_dim='time'): sequence-parallel
+    encode/decode == single device (v1 family: interleave upsample,
+    causal pads)."""
+    from cvvae_tpu.models.vae_v1 import VAE1Config
+    from cvvae_tpu.models.video_vae import VideoVAE, VideoVAEConfig
+    cfg = VideoVAEConfig(
+        family="v1",
+        net=VAE1Config(ch=8, ch_mult=(1, 2, 4, 4), num_res_blocks=1,
+                       z_channels=4, norm_num_groups=4),
+        tile_spatial_size=None, en_de_n_frames_a_time=None)
+    vae = VideoVAE.from_config(cfg, seed=0)
+    # context parallelism needs mesh-multiple windows (GroupNorm spans
+    # the sequence, so padding cannot be hidden): T=16 -> T'=4 over 4
+    # devices; the decode output length (4*4-3=13) is odd — output
+    # shardings are left to the compiler
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 16, 32, 32, 3))
+    z_ref = vae.encode(x).mode()
+    xr_ref = vae.decode(z_ref)
+
+    mesh = make_mesh(4)
+    tvae = vae.with_mesh(mesh, shard_dim="time")
+    z = tvae.encode(x).mode()
+    np.testing.assert_allclose(np.asarray(z), np.asarray(z_ref),
+                               atol=2e-5, rtol=1e-4)
+    xr = tvae.decode(z)
+    np.testing.assert_allclose(np.asarray(xr), np.asarray(xr_ref),
+                               atol=3e-5, rtol=1e-4)
+    # non-divisible T raises the documented error
+    with pytest.raises(ValueError, match="divisible"):
+        tvae.encode(jax.random.normal(jax.random.PRNGKey(2),
+                                      (1, 17, 32, 32, 3)))

@@ -152,6 +152,9 @@ def main():
     ap.add_argument("--frames", type=int, default=17)
     ap.add_argument("--quantize", action="store_true",
                     help="profile the int8 conv stack (ops/quant.py)")
+    ap.add_argument("--calibrate", action="store_true",
+                    help="with --quantize: static activation scales from "
+                         "an eager 256px calibration pass")
     ap.add_argument("--skip_encoder", action="store_true")
     ap.add_argument("--skip_decoder", action="store_true")
     args = ap.parse_args()
@@ -174,6 +177,17 @@ def main():
         tag += "+int8"
         global QUANTIZED
         QUANTIZED = True
+        if args.calibrate:
+            from cvvae_tpu.ops.quant import (attach_activation_scales,
+                                             calibration_scope)
+            xc = jax.random.normal(jax.random.PRNGKey(9),
+                                   (1, args.frames, 256, 256, 3), dtype)
+            with calibration_scope() as rec:
+                mom = m.apply_encoder(enc, xc, cfg)
+                m.apply_decoder(dec, mom[..., :mom.shape[-1] // 2], cfg)
+            enc = attach_activation_scales(enc, rec)
+            dec = attach_activation_scales(dec, rec)
+            tag += "+calib"
 
     x = jax.random.normal(kx, (1, args.frames, args.tile, args.tile, 3), dtype)
     tz = 1 + (args.frames - 1) // 4
