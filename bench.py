@@ -58,7 +58,11 @@ def main():
     # production TPU config: 720-px tiles (v5e HBM affords larger tiles
     # than the reference's 576 GPU default -> less overlap redundancy,
     # fewer seams; chunk/blend semantics unchanged)
-    cfg = VideoVAEConfig(family="v1", tile_spatial_size=720)
+    # decoder tiles at 720px (full-frame decode needs 19.6 GB > HBM);
+    # encoder runs the full frame untiled — no seams, no overlap
+    # redundancy (encoder HBM peak is ~1/5 the decoder's)
+    cfg = VideoVAEConfig(family="v1", tile_spatial_size=720,
+                         encode_tile_spatial_size=None)
     vae = VideoVAE.from_config(cfg, seed=0, dtype=jnp.bfloat16)
     x = jax.random.normal(jax.random.PRNGKey(0),
                           (1, frames, height, width, 3), jnp.bfloat16)

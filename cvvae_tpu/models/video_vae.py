@@ -44,6 +44,12 @@ class VideoVAEConfig:
     tile_spatial_size: Optional[int] = 576
     tile_overlap_ratio: float = 0.2222
     num_video_frames: Optional[int] = None
+    #: encoder-side tile size; "inherit" follows tile_spatial_size
+    #: (reference behavior).  The encoder peaks at ~1/5 the decoder's
+    #: HBM, so serving configs can run it untiled (None) while the
+    #: decoder still tiles — no encode seams, no overlap redundancy
+    #: (full-frame 720p encode: 532 ms vs 2x301 ms tiled on v5e int8).
+    encode_tile_spatial_size: Any = "inherit"
 
     def __post_init__(self):
         if self.net is None:
@@ -73,6 +79,17 @@ class VideoVAEConfig:
         if self.tile_spatial_size is None:
             return None
         return self.tile_spatial_size // self.spatial_n_compress
+
+    @property
+    def encode_pixel_tile_size(self) -> Optional[int]:
+        if self.encode_tile_spatial_size == "inherit":
+            return self.tile_spatial_size
+        return self.encode_tile_spatial_size
+
+    @property
+    def encode_latent_tile_size(self) -> Optional[int]:
+        t = self.encode_pixel_tile_size
+        return None if t is None else t // self.spatial_n_compress
 
     @property
     def num_latent_frames(self) -> Optional[int]:
@@ -137,8 +154,8 @@ class VideoVAE:
         # chunk costs one dispatch instead of O(tiles) round-trips and
         # XLA schedules/fuses across tiles.
         self._sp_enc = jax.jit(lambda p, x: self._spatial_tiled(
-            x, lambda v: enc(p, v), config.pixel_tile_size,
-            config.latent_tile_size))
+            x, lambda v: enc(p, v), config.encode_pixel_tile_size,
+            config.encode_latent_tile_size))
         self._sp_dec = jax.jit(lambda p, z: self._spatial_tiled(
             z, lambda v: dec(p, v), config.latent_tile_size,
             config.pixel_tile_size))
@@ -275,8 +292,8 @@ class VideoVAE:
         other._dec = jax.jit(dec, **jit_kw)
         other._sp_enc = jax.jit(
             lambda p, x: other._spatial_tiled(
-                x, lambda v: enc(p, v), other.config.pixel_tile_size,
-                other.config.latent_tile_size), **jit_kw)
+                x, lambda v: enc(p, v), other.config.encode_pixel_tile_size,
+                other.config.encode_latent_tile_size), **jit_kw)
         other._sp_dec = jax.jit(
             lambda p, z: other._spatial_tiled(
                 z, lambda v: dec(p, v), other.config.latent_tile_size,

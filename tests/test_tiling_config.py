@@ -1,0 +1,51 @@
+"""Asymmetric tiling config: encoder tile size decoupled from the
+decoder's (serving configs run the encoder untiled — its HBM peak is a
+fraction of the decoder's — while the decoder still tiles)."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from cvvae_tpu.models.vae_v1 import VAE1Config
+from cvvae_tpu.models.video_vae import VideoVAE, VideoVAEConfig
+
+
+def _cfg(**kw):
+    return VideoVAEConfig(
+        family="v1",
+        net=VAE1Config(ch=8, ch_mult=(1, 2, 4, 4), num_res_blocks=1,
+                       z_channels=4, norm_num_groups=4),
+        en_de_n_frames_a_time=None, **kw)
+
+
+def test_encode_tile_inherits_by_default():
+    cfg = _cfg(tile_spatial_size=64)
+    assert cfg.encode_pixel_tile_size == 64
+    assert cfg.encode_latent_tile_size == 8
+    cfg2 = _cfg(tile_spatial_size=64, encode_tile_spatial_size=None)
+    assert cfg2.encode_pixel_tile_size is None
+    assert cfg2.pixel_tile_size == 64
+
+
+def test_untiled_encode_tiled_decode_close_to_tiled():
+    """encode untiled + decode tiled: the latent equals the untiled
+    latent exactly (no seams), and the decode path still tiles."""
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 5, 96, 96, 3)) * 0.5
+
+    vae_ref = VideoVAE.from_config(_cfg(tile_spatial_size=None), seed=0)
+    vae_mix = VideoVAE.from_config(
+        _cfg(tile_spatial_size=64, encode_tile_spatial_size=None), seed=0)
+    vae_tiled = VideoVAE.from_config(_cfg(tile_spatial_size=64), seed=0)
+
+    z_ref = vae_ref.encode(x).mode()
+    z_mix = vae_mix.encode(x).mode()
+    np.testing.assert_array_equal(np.asarray(z_mix), np.asarray(z_ref))
+    z_tiled = vae_tiled.encode(x).mode()
+    assert not np.array_equal(np.asarray(z_tiled), np.asarray(z_ref))
+
+    # decode through the mixed config still uses 64px latent tiles and
+    # matches the fully-tiled decode bit-for-bit on the same z
+    xr_mix = vae_mix.decode(z_ref)
+    xr_tiled = vae_tiled.decode(z_ref)
+    np.testing.assert_array_equal(np.asarray(xr_mix), np.asarray(xr_tiled))
