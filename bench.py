@@ -58,10 +58,13 @@ def main():
     # production TPU config: 720-px tiles (v5e HBM affords larger tiles
     # than the reference's 576 GPU default -> less overlap redundancy,
     # fewer seams; chunk/blend semantics unchanged)
-    # decoder tiles at 720px (full-frame decode needs 19.6 GB > HBM);
-    # encoder runs the full frame untiled — no seams, no overlap
-    # redundancy (encoder HBM peak is ~1/5 the decoder's)
-    cfg = VideoVAEConfig(family="v1", tile_spatial_size=720,
+    # decoder tiles 720x672 (full-frame decode needs 19.6 GB > HBM;
+    # two rect tiles cover 1280x720 at 1.05x area vs 1.125x for square
+    # 720px ones, with an 8-latent/64-px blended seam); encoder runs
+    # the full frame untiled — no seams, no overlap redundancy
+    # (encoder HBM peak is ~1/5 the decoder's)
+    cfg = VideoVAEConfig(family="v1", tile_spatial_size=(720, 672),
+                         tile_overlap_ratio=8 / 84,
                          encode_tile_spatial_size=None)
     vae = VideoVAE.from_config(cfg, seed=0, dtype=jnp.bfloat16)
     x = jax.random.normal(jax.random.PRNGKey(0),

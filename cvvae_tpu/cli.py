@@ -46,6 +46,12 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--mode", type=str, default="sample",
                    choices=["sample", "mode"],
                    help="posterior sampling (reference default) or mean")
+    p.add_argument("--serving", action="store_true",
+                   help="TPU serving preset: untiled full-frame encode, "
+                        "rectangular decode tiles sized to the frame, and "
+                        "(with --dtype int8) calibrated static activation "
+                        "scales from the clip's first window — the bench.py "
+                        "production configuration")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--metrics", action="store_true",
                    help="print PSNR + timing JSON to stdout")
@@ -62,14 +68,33 @@ def main(argv=None) -> dict:
     args = build_argparser().parse_args(argv)
     dtype = jnp.float32 if args.dtype == "fp32" else jnp.bfloat16
 
+    import dataclasses as _dc
+
     if args.vae_path:
         vae = VideoVAE.from_pretrained(args.vae_path, subfolder=args.subfolder,
                                        dtype=dtype)
     else:
         vae = VideoVAE.from_config(config_for_variant(args.variant),
                                    seed=args.seed, dtype=dtype)
-    if args.dtype == "int8":
-        vae = vae.quantize()
+    if args.serving:
+        # untiled encode; decode tiles: full height x the widest tile
+        # <= the reference 576px budget that splits the width evenly
+        # with an 8-latent blended overlap (bench.py's 720p config)
+        th = min(args.height, 720)
+        n_w = -(-args.width // 720) if args.height > 720 or args.width > 720 \
+            else 1
+        if args.height <= 720 and args.width <= 720:
+            tile = None
+        else:
+            lat_w = args.width // 8
+            lat_stride = -(-(lat_w - 8) // n_w)
+            tw = (lat_stride + 8) * 8
+            tile = (th, tw)
+        cfg = _dc.replace(vae.config, tile_spatial_size=tile,
+                          tile_overlap_ratio=(8 / (tile[1] // 8)) if tile
+                          else 0.2222,
+                          encode_tile_spatial_size=None)
+        vae = VideoVAE(cfg, vae.params)
 
     frames, fps = video_io.read_video(
         args.video_path, height=args.height, width=args.width,
@@ -78,6 +103,11 @@ def main(argv=None) -> dict:
     frames = frames[:n]
     x_np = video_io.normalize(frames)
     x = jnp.asarray(x_np, dtype=dtype)[None]  # (1, T, H, W, C)
+
+    if args.dtype == "int8":
+        calib = x[:, :17, :min(args.height, 256), :min(args.width, 256)] \
+            if args.serving else None
+        vae = vae.quantize(calibration=calib)
 
     # Timing barrier: block_until_ready() does NOT wait for remote
     # execution under the axon tunnel — sync() forces a scalar fetch.

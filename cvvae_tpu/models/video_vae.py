@@ -71,25 +71,34 @@ class VideoVAEConfig:
         return self.en_de_n_frames_a_time // self.time_n_compress
 
     @property
-    def pixel_tile_size(self) -> Optional[int]:
-        return self.tile_spatial_size
+    def pixel_tile_size(self):
+        t = self.tile_spatial_size
+        return tuple(t) if isinstance(t, (tuple, list)) else t
 
     @property
-    def latent_tile_size(self) -> Optional[int]:
-        if self.tile_spatial_size is None:
+    def latent_tile_size(self):
+        t = self.tile_spatial_size
+        if t is None:
             return None
-        return self.tile_spatial_size // self.spatial_n_compress
+        if isinstance(t, (tuple, list)):
+            return tuple(v // self.spatial_n_compress for v in t)
+        return t // self.spatial_n_compress
 
     @property
-    def encode_pixel_tile_size(self) -> Optional[int]:
-        if self.encode_tile_spatial_size == "inherit":
-            return self.tile_spatial_size
-        return self.encode_tile_spatial_size
+    def encode_pixel_tile_size(self):
+        t = self.encode_tile_spatial_size
+        if isinstance(t, str) and t == "inherit":
+            return self.pixel_tile_size
+        return tuple(t) if isinstance(t, (tuple, list)) else t
 
     @property
-    def encode_latent_tile_size(self) -> Optional[int]:
+    def encode_latent_tile_size(self):
         t = self.encode_pixel_tile_size
-        return None if t is None else t // self.spatial_n_compress
+        if t is None:
+            return None
+        if isinstance(t, (tuple, list)):
+            return tuple(v // self.spatial_n_compress for v in t)
+        return t // self.spatial_n_compress
 
     @property
     def num_latent_frames(self) -> Optional[int]:
@@ -314,25 +323,38 @@ class VideoVAE:
     # spatial tiling  [models/modeling_vae.py:144-191, 230-277]
     # ------------------------------------------------------------------
 
-    def _spatial_tiled(self, x: jax.Array, net, tile: int,
-                       out_tile: int) -> jax.Array:
+    def _spatial_tiled(self, x: jax.Array, net, tile,
+                       out_tile) -> jax.Array:
+        """tile/out_tile: int (square, the reference contract) or an
+        (h, w) pair — rectangular tiles let a 1280x720 frame decode as
+        two 720x672 tiles (1.05x area) instead of two square 720px ones
+        (1.125x)."""
         cfg = self.config
-        if tile is None or (x.shape[2] <= tile and x.shape[3] <= tile):
+        if tile is None:
             return net(x)
-        in_stride = round(tile * (1 - cfg.tile_overlap_ratio))
-        out_overlap = round(out_tile * cfg.tile_overlap_ratio)
-        out_stride = out_tile - out_overlap
+        tile_h, tile_w = (tile, tile) if not isinstance(tile, (tuple, list)) \
+            else tile
+        if x.shape[2] <= tile_h and x.shape[3] <= tile_w:
+            return net(x)
+        out_h, out_w = (out_tile, out_tile) \
+            if not isinstance(out_tile, (tuple, list)) else out_tile
+        in_stride_h = round(tile_h * (1 - cfg.tile_overlap_ratio))
+        in_stride_w = round(tile_w * (1 - cfg.tile_overlap_ratio))
+        out_overlap_h = round(out_h * cfg.tile_overlap_ratio)
+        out_overlap_w = round(out_w * cfg.tile_overlap_ratio)
+        out_stride_h = out_h - out_overlap_h
+        out_stride_w = out_w - out_overlap_w
 
         # slice the tile grid
         tile_grid = []
-        for i in range(0, x.shape[2], in_stride):
+        for i in range(0, x.shape[2], in_stride_h):
             row = []
-            for j in range(0, x.shape[3], in_stride):
-                row.append(x[:, :, i:i + tile, j:j + tile, :])
-                if j + tile >= x.shape[3]:
+            for j in range(0, x.shape[3], in_stride_w):
+                row.append(x[:, :, i:i + tile_h, j:j + tile_w, :])
+                if j + tile_w >= x.shape[3]:
                     break
             tile_grid.append(row)
-            if i + tile >= x.shape[2]:
+            if i + tile_h >= x.shape[2]:
                 break
 
         # Group same-shape tiles and run each group through lax.map: the
@@ -365,9 +387,9 @@ class VideoVAE:
             for j in range(len(rows[i])):
                 t = rows[i][j]
                 if i > 0:
-                    t = _blend_v(rows[i - 1][j], t, out_overlap)
+                    t = _blend_v(rows[i - 1][j], t, out_overlap_h)
                 if j > 0:
-                    t = _blend_h(rows[i][j - 1], t, out_overlap)
+                    t = _blend_h(rows[i][j - 1], t, out_overlap_w)
                 rows[i][j] = t
         result_rows = rows
 
@@ -375,9 +397,9 @@ class VideoVAE:
         for i, cols in enumerate(result_rows):
             for j, t in enumerate(cols):
                 if i < len(result_rows) - 1:
-                    t = t[:, :, :out_stride, :, :]
+                    t = t[:, :, :out_stride_h, :, :]
                 if j < len(cols) - 1:
-                    t = t[:, :, :, :out_stride, :]
+                    t = t[:, :, :, :out_stride_w, :]
                 cols[j] = t
             out_rows.append(jnp.concatenate(cols, axis=3))
         return jnp.concatenate(out_rows, axis=2)

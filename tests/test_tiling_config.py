@@ -49,3 +49,33 @@ def test_untiled_encode_tiled_decode_close_to_tiled():
     xr_mix = vae_mix.decode(z_ref)
     xr_tiled = vae_tiled.decode(z_ref)
     np.testing.assert_array_equal(np.asarray(xr_mix), np.asarray(xr_tiled))
+
+
+def test_rectangular_tiles():
+    """(h, w) tile pairs: a square pair equals the square int config
+    bit-for-bit, a full-size rect tile equals untiled, and a rect grid
+    covers ragged frames with the right output shape."""
+    x = jax.random.normal(jax.random.PRNGKey(3), (1, 5, 64, 96, 3)) * 0.5
+
+    # (t, t) pair == int t (the rect path is a strict generalisation)
+    vae_sq = VideoVAE.from_config(_cfg(tile_spatial_size=56), seed=0)
+    vae_pair = VideoVAE.from_config(_cfg(tile_spatial_size=(56, 56)), seed=0)
+    np.testing.assert_array_equal(
+        np.asarray(vae_pair.encode(x).mode()),
+        np.asarray(vae_sq.encode(x).mode()))
+
+    # a tile covering the whole frame == untiled
+    vae_ref = VideoVAE.from_config(_cfg(tile_spatial_size=None), seed=0)
+    vae_full = VideoVAE.from_config(_cfg(tile_spatial_size=(64, 96)), seed=0)
+    np.testing.assert_array_equal(
+        np.asarray(vae_full.encode(x).mode()),
+        np.asarray(vae_ref.encode(x).mode()))
+
+    # rect grid on a ragged frame: right shape, finite, roundtrips
+    vae_rect = VideoVAE.from_config(
+        _cfg(tile_spatial_size=(64, 56), tile_overlap_ratio=0.15), seed=0)
+    z = np.asarray(vae_rect.encode(x).mode())
+    assert z.shape == (1, 2, 8, 12, 4)
+    xr = np.asarray(vae_rect.decode(jnp.asarray(z)))
+    assert xr.shape == x.shape
+    assert np.isfinite(xr).all()
