@@ -95,9 +95,14 @@ def streaming_encode(vae: VideoVAE, frame_iter: Iterator[np.ndarray], *,
     first = True
     pending = []
 
+    # upload uint8 (1 B/px) and normalise on device: the host->device
+    # link carries half the bytes vs shipping bf16 (and 4x less than
+    # fp32); u8 -> bf16 is exact
+    normalize = jax.jit(lambda u: u.astype(dtype) / 127.5 - 1.0)
+
     def encode_batch(chunks):
         nonlocal key
-        x = jnp.asarray(np.stack(chunks), dtype=dtype) / 127.5 - 1.0
+        x = normalize(jnp.asarray(np.stack(chunks)))
         posterior = vae.encode(x)
         if sample:
             key, sub = jax.random.split(key)
@@ -136,11 +141,17 @@ def streaming_decode(vae: VideoVAE, latent_iter: Iterator[jax.Array]
     window = vae.config.decode_n_frames_a_time
     assert window is not None
 
+    # denormalise to uint8 ON DEVICE, fetch 1 B/px: the device->host
+    # link is the bottleneck for long-clip serving (fp32 frames are 4x
+    # the bytes; same float math + truncating cast as the host version)
+    denorm = jax.jit(lambda x: jnp.clip(
+        (x.astype(jnp.float32) + 1.0) * 127.5, 0, 255).astype(jnp.uint8))
+
     def flush(x, drop_first):
-        frames = np.asarray(x[0].astype(jnp.float32))
+        frames = np.asarray(denorm(x[0]))
         if drop_first:
             frames = frames[1:]
-        return np.clip((frames + 1.0) * 127.5, 0, 255).astype(np.uint8)
+        return frames
 
     buf = None
     first = True
