@@ -180,6 +180,12 @@ def conv3d(x: jax.Array, params: dict, spec: Conv3DSpec, *,
     # isolation but cost ~6% end-to-end at 720p (the 27-slice concat is
     # 27x the input in HBM and breaks fusion); the stacked-stem lowering
     # above only materialises kT*kH slices.
+    elif (kernel.shape[4] <= 8 and c_in >= 32
+            and spec.kernel[0] * spec.kernel[1] * spec.kernel[2] > 1
+            and spec.stride == (1, 1, 1)):
+        # RGB/latent heads: Cout <= 8 wastes >90% of the MXU's output
+        # lanes in the direct lowering
+        y = _conv3d_small_cout(x, kernel, spec, precision)
     elif (spec.modes[0] == "edge" and spec.modes[1] == "zero"
             and spec.modes[2] == "zero" and (spec.pads[0][0] or spec.pads[0][1])
             and x.shape[1] > 1):
@@ -244,6 +250,49 @@ def _conv3d_stacked_stem(x: jax.Array, kernel: jax.Array, spec: Conv3DSpec,
         z, k2, window_strides=(1, 1, spec.stride[2]),
         padding=[(0, 0), (0, 0), w_pad],
         dimension_numbers=_DIMENSION_NUMBERS, precision=precision)
+
+
+def _conv3d_small_cout(x: jax.Array, kernel: jax.Array, spec: Conv3DSpec,
+                       precision) -> jax.Array:
+    """Small-Cout conv (RGB/latent heads) as a 1x1x1 conv to
+    kT*kH*kW*Cout tap-channels + shifted adds.
+
+    A 3x3x3 conv to 3 channels uses 3/128 MXU output lanes (~2% util —
+    measured ~58 ms for the decoder RGB head at a 720x672 tile); the
+    1x1 projection to 81 tap-channels runs at 81/128 lanes and the
+    tap-sum is a bandwidth-cheap elementwise epilogue (~23 ms total).
+    Padding (either mode, any axis) is materialised on the small
+    tap-channel tensor, which is cheaper than padding the wide input.
+    Bit-equal to the direct lowering up to float reassociation.
+    """
+    kt, kh, kw = spec.kernel
+    c_in, c_out = kernel.shape[3], kernel.shape[4]
+    k11 = jnp.transpose(kernel, (3, 0, 1, 2, 4))      # (I, kT, kH, kW, O)
+    k11 = k11.reshape(1, 1, 1, c_in, kt * kh * kw * c_out)
+    u = lax.conv_general_dilated(
+        x, k11, window_strides=(1, 1, 1), padding=[(0, 0)] * 3,
+        dimension_numbers=_DIMENSION_NUMBERS, precision=precision)
+    b, t, h, w, _ = u.shape
+    u = u.reshape(b, t, h, w, kt * kh * kw, c_out)
+    for axis, (pad, mode) in enumerate(zip(spec.pads, spec.modes)):
+        if tuple(pad) == (0, 0):
+            continue
+        widths = [(0, 0)] * 6
+        widths[1 + axis] = tuple(pad)
+        u = jnp.pad(u, widths, mode="edge" if mode == "edge" else "constant")
+    t_out = u.shape[1] - kt + 1
+    h_out = u.shape[2] - kh + 1
+    w_out = u.shape[3] - kw + 1
+    acc = None
+    idx = 0
+    for dt in range(kt):
+        for dh in range(kh):
+            for dw in range(kw):
+                term = u[:, dt:dt + t_out, dh:dh + h_out,
+                         dw:dw + w_out, idx, :]
+                acc = term if acc is None else acc + term
+                idx += 1
+    return acc
 
 
 def _conv3d_small_cin(x: jax.Array, kernel: jax.Array, spec: Conv3DSpec,

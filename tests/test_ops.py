@@ -242,3 +242,28 @@ def test_psnr_ssim_metrics():
     assert 0.0 < float(s.mean()) < 1.0
     rep = reconstruction_report(x, noisy)
     assert set(rep) == {"psnr_db", "ssim", "l1"}
+
+
+def test_small_cout_lowering_matches_direct():
+    """The tap-stack head lowering == direct lax conv for every padding
+    family (the dispatcher routes Cout<=8, Cin>=32, stride-1 convs)."""
+    from cvvae_tpu.ops.conv import (Conv3DSpec, _conv3d_small_cout, conv3d,
+                                    conv_init)
+    from jax import lax
+    for spec in (Conv3DSpec.v1_causal(), Conv3DSpec.v1_plain(),
+                 Conv3DSpec.sd3_causal(), Conv3DSpec.sd3_plain(),
+                 Conv3DSpec.spatial2d()):
+        params = conv_init(jax.random.PRNGKey(0), spec, 32, 3)
+        x = jax.random.normal(jax.random.PRNGKey(1), (1, 5, 12, 10, 32))
+        y = conv3d(x, params, spec)  # dispatcher -> small_cout path
+        # direct reference: edge-pad + lax conv
+        from cvvae_tpu.ops.conv import _edge_pad
+        xp = _edge_pad(x, spec.pads, spec.modes)
+        lax_padding = [tuple(p) if m == "zero" else (0, 0)
+                       for p, m in zip(spec.pads, spec.modes)]
+        y_ref = lax.conv_general_dilated(
+            xp, params["kernel"], spec.stride, lax_padding,
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+        y_ref = y_ref + params["bias"]
+        np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                                   atol=3e-5, rtol=1e-4)
