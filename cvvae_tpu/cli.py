@@ -58,6 +58,26 @@ def build_argparser() -> argparse.ArgumentParser:
     return p
 
 
+
+
+def serving_decode_tiles(height: int, width: int):
+    """Decode tile plan for the serving preset: frames up to 720px run
+    untiled; larger frames use full-height rectangular tiles that split
+    the width evenly with an 8-latent (64-px) blended overlap — e.g.
+    1280x720 -> two 720x672 tiles (1.05x decoded area).  Returns
+    (tile_spatial_size, tile_overlap_ratio) for VideoVAEConfig."""
+    if height <= 720 and width <= 720:
+        return None, 0.2222
+    th = min(height, 720)
+    n_w = -(-width // 720)
+    lat_w = width // 8
+    lat_stride = -(-(lat_w - 8) // n_w)
+    tw = (lat_stride + 8) * 8
+    return (th, tw), 8 / (tw // 8)
+
+
+
+
 def main(argv=None) -> dict:
     from cvvae_tpu.utils.profiling import enable_compilation_cache, sync
     enable_compilation_cache()
@@ -77,22 +97,9 @@ def main(argv=None) -> dict:
         vae = VideoVAE.from_config(config_for_variant(args.variant),
                                    seed=args.seed, dtype=dtype)
     if args.serving:
-        # untiled encode; decode tiles: full height x the widest tile
-        # <= the reference 576px budget that splits the width evenly
-        # with an 8-latent blended overlap (bench.py's 720p config)
-        th = min(args.height, 720)
-        n_w = -(-args.width // 720) if args.height > 720 or args.width > 720 \
-            else 1
-        if args.height <= 720 and args.width <= 720:
-            tile = None
-        else:
-            lat_w = args.width // 8
-            lat_stride = -(-(lat_w - 8) // n_w)
-            tw = (lat_stride + 8) * 8
-            tile = (th, tw)
+        tile, ratio = serving_decode_tiles(args.height, args.width)
         cfg = _dc.replace(vae.config, tile_spatial_size=tile,
-                          tile_overlap_ratio=(8 / (tile[1] // 8)) if tile
-                          else 0.2222,
+                          tile_overlap_ratio=ratio,
                           encode_tile_spatial_size=None)
         vae = VideoVAE(cfg, vae.params)
 

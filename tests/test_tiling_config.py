@@ -79,3 +79,19 @@ def test_rectangular_tiles():
     xr = np.asarray(vae_rect.decode(jnp.asarray(z)))
     assert xr.shape == x.shape
     assert np.isfinite(xr).all()
+
+
+def test_serving_decode_tile_plan():
+    """CLI serving preset tile math: coverage with the documented
+    8-latent overlap, untiled for small frames."""
+    from cvvae_tpu.cli import serving_decode_tiles
+    assert serving_decode_tiles(512, 512) == (None, 0.2222)
+    tile, ratio = serving_decode_tiles(720, 1280)
+    assert tile == (720, 672)
+    lat_w, lat_tw = 1280 // 8, tile[1] // 8
+    stride = round(lat_tw * (1 - ratio))
+    assert stride == lat_tw - 8
+    # grid covers the latent width
+    pos = list(range(0, lat_w, stride))
+    covered = max(p + lat_tw for p in pos[:2])
+    assert covered >= lat_w
