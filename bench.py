@@ -44,6 +44,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--dtype", default="int8", choices=["int8", "bf16"],
                     help="headline mode (the other is also measured)")
+    ap.add_argument("--family", default="v1", choices=["v1", "sd3"],
+                    help="model family: v1 (4-ch, the reference CLI "
+                         "default) or sd3 (16-ch, the training-recipe "
+                         "flagship; cvvae_sd3_inference_video.py:11-53)")
     ap.add_argument("--skip_bf16", action="store_true",
                     help="with --dtype int8: skip the bf16 comparison run")
     args = ap.parse_args()
@@ -63,9 +67,15 @@ def main():
     # 720px ones, with an 8-latent/64-px blended seam); encoder runs
     # the full frame untiled — no seams, no overlap redundancy
     # (encoder HBM peak is ~1/5 the decoder's)
-    cfg = VideoVAEConfig(family="v1", tile_spatial_size=(720, 672),
-                         tile_overlap_ratio=8 / 84,
-                         encode_tile_spatial_size=None)
+    # v1's zero-pad encoder fits the full frame untiled; SD3's
+    # replicate-pads space AND time (vae_blocks3d_sd3.py:87-98), whose
+    # materialised edge pads push the untiled 720p encode to ~16 GB —
+    # over HBM — so the SD3 encoder reuses the decoder's rect tiles.
+    cfg = VideoVAEConfig(
+        family=args.family, tile_spatial_size=(720, 672),
+        tile_overlap_ratio=8 / 84,
+        encode_tile_spatial_size=None if args.family == "v1" else "inherit",
+        **({"scaling_factor": 1.5305} if args.family == "sd3" else {}))
     vae = VideoVAE.from_config(cfg, seed=0, dtype=jnp.bfloat16)
     x = jax.random.normal(jax.random.PRNGKey(0),
                           (1, frames, height, width, 3), jnp.bfloat16)
@@ -87,8 +97,9 @@ def main():
         detail[f"{mode}_fps"] = round(fps, 2)
         outs[mode] = out
 
+    family_tag = "" if args.family == "v1" else f"_{args.family}"
     result = {
-        "metric": f"720p_encode_decode_fps_per_chip_{args.dtype}",
+        "metric": f"720p_encode_decode_fps_per_chip{family_tag}_{args.dtype}",
         "value": detail[f"{args.dtype}_fps"],
         "unit": "frames/sec",
         "vs_baseline": round(detail[f"{args.dtype}_fps"] / 30.0, 3),

@@ -60,20 +60,36 @@ def build_argparser() -> argparse.ArgumentParser:
 
 
 
+def _serving_axis_plan(size: int):
+    """Split one spatial axis into the fewest tiles of at most 720 px
+    with an exact 8-latent (64-px) blended overlap.  Returns
+    (tile_px, overlap_ratio) with ratio == 8/latent_tile so the tile
+    math in VideoVAE._spatial_tiled rounds back to exactly 64 px on
+    THIS axis (per-axis ratios: a single ratio derived from the other
+    axis mis-rounds the overlap and shifts the decoded frame size)."""
+    lat = size // 8
+    n = max(1, -(-size // 720))
+    while True:
+        lat_stride = -(-(lat - 8) // n)
+        tile_lat = lat_stride + 8
+        if tile_lat * 8 <= 720 or lat_stride <= 1:
+            break
+        n += 1  # even splits of this width exceed the 720-px HBM cap
+    return tile_lat * 8, 8 / tile_lat
+
+
 def serving_decode_tiles(height: int, width: int):
     """Decode tile plan for the serving preset: frames up to 720px run
-    untiled; larger frames use full-height rectangular tiles that split
-    the width evenly with an 8-latent (64-px) blended overlap — e.g.
-    1280x720 -> two 720x672 tiles (1.05x decoded area).  Returns
-    (tile_spatial_size, tile_overlap_ratio) for VideoVAEConfig."""
+    untiled; larger frames use rectangular tiles sized per axis with an
+    8-latent (64-px) blended overlap — e.g. 1280x720 -> two 720x672
+    tiles (1.05x decoded area), 1920x1080 -> a 688x576 grid.  Returns
+    (tile_spatial_size, tile_overlap_ratio) for VideoVAEConfig; the
+    ratio is an (h, w) pair so each axis blends its exact overlap."""
     if height <= 720 and width <= 720:
         return None, 0.2222
-    th = min(height, 720)
-    n_w = -(-width // 720)
-    lat_w = width // 8
-    lat_stride = -(-(lat_w - 8) // n_w)
-    tw = (lat_stride + 8) * 8
-    return (th, tw), 8 / (tw // 8)
+    th, rh = _serving_axis_plan(height)
+    tw, rw = _serving_axis_plan(width)
+    return (th, tw), (rh, rw)
 
 
 
@@ -98,9 +114,13 @@ def main(argv=None) -> dict:
                                    seed=args.seed, dtype=dtype)
     if args.serving:
         tile, ratio = serving_decode_tiles(args.height, args.width)
+        # v1's zero-pad encoder runs the full frame untiled; SD3
+        # replicate-pads space+time and its materialised edge pads blow
+        # HBM untiled at 720p — its encoder shares the decode tiles
+        enc_tile = None if vae.config.family == "v1" else "inherit"
         cfg = _dc.replace(vae.config, tile_spatial_size=tile,
                           tile_overlap_ratio=ratio,
-                          encode_tile_spatial_size=None)
+                          encode_tile_spatial_size=enc_tile)
         vae = VideoVAE(cfg, vae.params)
 
     frames, fps = video_io.read_video(

@@ -49,6 +49,10 @@ class Disc2DConfig:
     input_nc: int = 3
     ndf: int = 64
     n_layers: int = 3
+    #: ActNorm instead of BatchNorm (lpips/util.py:45-104, selected in
+    #: model.py:36-42; convs then keep their bias — use_bias is True for
+    #: any norm other than BatchNorm2d).  Off in the shipped config.
+    use_actnorm: bool = False
 
 
 def _disc2d_spec(stride: int) -> Conv3DSpec:
@@ -75,7 +79,16 @@ def init_disc2d(key, cfg: Disc2DConfig, dtype=jnp.float32) -> dict:
         key, sub = jax.random.split(key)
         layer = {"conv": _gan_conv_init(sub, _disc2d_spec(stride), c_in, c_out,
                                         dtype)}
-        if has_norm:
+        if has_norm and cfg.use_actnorm:
+            # ActNorm (lpips/util.py:50-57): loc=0, scale=1, lazily
+            # data-initialised on the first train forward; the conv
+            # keeps its bias (use_bias=True when norm != BatchNorm2d)
+            layer["an"] = {
+                "loc": jnp.zeros((c_out,), dtype),
+                "scale": jnp.ones((c_out,), dtype),
+                "initialized": jnp.zeros((), jnp.uint8),
+            }
+        elif has_norm:
             # BatchNorm2d init from weights_init: weight ~ N(1, 0.02), bias 0
             key, sub = jax.random.split(key)
             layer["bn"] = {
@@ -90,6 +103,32 @@ def init_disc2d(key, cfg: Disc2DConfig, dtype=jnp.float32) -> dict:
     return {"layers": layers}
 
 
+def actnorm(h: jax.Array, an: dict, train: bool):
+    """ActNorm forward (lpips/util.py:58-104): per-channel
+    ``scale * (h + loc)``.  On the first *train* forward (initialized
+    flag 0) loc/scale are set data-dependently to -mean and
+    1/(std + 1e-6) over (batch, space) — torch's lazy ``initialize``,
+    computed with the unbiased std and under stop_gradient (no_grad).
+    Returns (out, updated actnorm params); callers optimising through
+    ActNorm should thread the updated params (the flag flips to 1), or
+    run one initialising forward before training — matching torch,
+    where init mutates the module on the first training_step.
+    """
+    if train:
+        reduce_axes = tuple(range(h.ndim - 1))
+        mean = jnp.mean(h, axis=reduce_axes)
+        std = jnp.std(h, axis=reduce_axes, ddof=1)
+        loc0 = jax.lax.stop_gradient(-mean)
+        scale0 = jax.lax.stop_gradient(1.0 / (std + 1e-6))
+        use_init = (an["initialized"] == 0)
+        loc = jnp.where(use_init, loc0, an["loc"])
+        scale = jnp.where(use_init, scale0, an["scale"])
+        new = dict(an, loc=loc, scale=scale,
+                   initialized=jnp.ones_like(an["initialized"]))
+        return scale * (h + loc), new
+    return an["scale"] * (h + an["loc"]), an
+
+
 def apply_disc2d(params: dict, x: jax.Array, cfg: Disc2DConfig,
                  train: bool = True, update_stats: bool = False):
     """x: (B, T, H, W, C) -> per-frame patch logits (B, T, H', W', 1).
@@ -102,6 +141,14 @@ def apply_disc2d(params: dict, x: jax.Array, cfg: Disc2DConfig,
     momentum-0.1 rule, for the caller to thread through its train state
     (torch mutates ``running_mean``/``running_var`` in place;
     functionally the update is an explicit output).
+
+    NOTE: the shipped training recipe uses the 3D discriminator only
+    (configs/cvvae_sd3_constraint_training.yaml:74-82 ->
+    NLayerDiscriminator3D), so TrainingEngine never calls this — the 2D
+    PatchGAN is API parity for configs that swap it in.  Any such
+    training loop MUST call with ``update_stats=True`` and thread the
+    returned params, or running stats stay at init and eval-mode reads
+    see stale statistics.
     """
     b, t = x.shape[0], x.shape[1]
     h = x.reshape((b * t, 1) + x.shape[2:])  # fold frames for batch stats
@@ -111,7 +158,11 @@ def apply_disc2d(params: dict, x: jax.Array, cfg: Disc2DConfig,
         stride = _disc2d_channels(cfg)[i][2]
         h = conv3d(h, layer["conv"], _disc2d_spec(stride))
         new_layer = layer
-        if "bn" in layer:
+        if "an" in layer:
+            h, new_an = actnorm(h, layer["an"], train)
+            if update_stats:
+                new_layer = dict(layer, an=new_an)
+        elif "bn" in layer:
             if train:
                 h, stats = batch_norm_train(h, layer["bn"])
                 if update_stats:

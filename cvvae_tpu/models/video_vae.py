@@ -42,7 +42,11 @@ class VideoVAEConfig:
     time_n_compress: int = 4
     spatial_n_compress: int = 8
     tile_spatial_size: Optional[int] = 576
-    tile_overlap_ratio: float = 0.2222
+    #: scalar (reference contract) or an (h, w) pair — rectangular tiles
+    #: need per-axis ratios so both axes get the exact intended latent
+    #: overlap (a single ratio derived from one axis mis-rounds the
+    #: other's output overlap and shifts the decoded frame size).
+    tile_overlap_ratio: Any = 0.2222
     num_video_frames: Optional[int] = None
     #: encoder-side tile size; "inherit" follows tile_spatial_size
     #: (reference behavior).  The encoder peaks at ~1/5 the decoder's
@@ -338,10 +342,13 @@ class VideoVAE:
             return net(x)
         out_h, out_w = (out_tile, out_tile) \
             if not isinstance(out_tile, (tuple, list)) else out_tile
-        in_stride_h = round(tile_h * (1 - cfg.tile_overlap_ratio))
-        in_stride_w = round(tile_w * (1 - cfg.tile_overlap_ratio))
-        out_overlap_h = round(out_h * cfg.tile_overlap_ratio)
-        out_overlap_w = round(out_w * cfg.tile_overlap_ratio)
+        ratio = cfg.tile_overlap_ratio
+        ratio_h, ratio_w = (ratio, ratio) \
+            if not isinstance(ratio, (tuple, list)) else ratio
+        in_stride_h = round(tile_h * (1 - ratio_h))
+        in_stride_w = round(tile_w * (1 - ratio_w))
+        out_overlap_h = round(out_h * ratio_h)
+        out_overlap_w = round(out_w * ratio_w)
         out_stride_h = out_h - out_overlap_h
         out_stride_w = out_w - out_overlap_w
 

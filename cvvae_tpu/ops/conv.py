@@ -283,6 +283,10 @@ def _conv3d_small_cout(x: jax.Array, kernel: jax.Array, spec: Conv3DSpec,
     t_out = u.shape[1] - kt + 1
     h_out = u.shape[2] - kh + 1
     w_out = u.shape[3] - kw + 1
+    # fp32 accumulator: the 27-term reassociated tap-sum would otherwise
+    # round per add in bf16 (the direct lowering rounds once after fp32
+    # MXU accumulation) and this is the final RGB/latent head.  The
+    # reads stay in the compute dtype; only the fused accumulator widens.
     acc = None
     idx = 0
     for dt in range(kt):
@@ -290,9 +294,9 @@ def _conv3d_small_cout(x: jax.Array, kernel: jax.Array, spec: Conv3DSpec,
             for dw in range(kw):
                 term = u[:, dt:dt + t_out, dh:dh + h_out,
                          dw:dw + w_out, idx, :]
-                acc = term if acc is None else acc + term
+                acc = term.astype(jnp.float32) if acc is None else acc + term
                 idx += 1
-    return acc
+    return acc.astype(u.dtype)
 
 
 def _conv3d_small_cin(x: jax.Array, kernel: jax.Array, spec: Conv3DSpec,

@@ -130,14 +130,24 @@ def streaming_encode(vae: VideoVAE, frame_iter: Iterator[np.ndarray], *,
         yield from flush()
 
 
-def streaming_decode(vae: VideoVAE, latent_iter: Iterator[jax.Array]
-                     ) -> Iterator[np.ndarray]:
+def streaming_decode(vae: VideoVAE, latent_iter: Iterator[jax.Array], *,
+                     prefetch: int = 0) -> Iterator[np.ndarray]:
     """latent chunks -> uint8 frame blocks.
 
     Windows of ``decode_n_frames_a_time``+1 latents with one-latent
     overlap; every window after the first drops its first output frame —
     byte-identical to the reference's tiled_decode over the full latent
-    sequence (modeling_vae.py:279-296)."""
+    sequence (modeling_vae.py:279-296).
+
+    ``prefetch > 0`` keeps that many decoded windows in flight: the
+    device->host copy of window k is started asynchronously
+    (``copy_to_host_async``) right after its decode is dispatched, and
+    materialised only once k+prefetch has been dispatched — so the
+    fetch of window k rides the link while the device decodes k+1,
+    instead of serialising fetch -> dispatch per window.  Output is
+    bit-identical to prefetch=0."""
+    import collections
+
     window = vae.config.decode_n_frames_a_time
     assert window is not None
 
@@ -147,11 +157,20 @@ def streaming_decode(vae: VideoVAE, latent_iter: Iterator[jax.Array]
     denorm = jax.jit(lambda x: jnp.clip(
         (x.astype(jnp.float32) + 1.0) * 127.5, 0, 255).astype(jnp.uint8))
 
-    def flush(x, drop_first):
-        frames = np.asarray(denorm(x[0]))
-        if drop_first:
-            frames = frames[1:]
-        return frames
+    pending = collections.deque()
+
+    def submit(x, drop_first):
+        u8 = denorm(x[0])
+        try:
+            u8.copy_to_host_async()
+        except AttributeError:   # non-array backends
+            pass
+        pending.append((u8, drop_first))
+
+    def materialize():
+        u8, drop_first = pending.popleft()
+        frames = np.asarray(u8)
+        return frames[1:] if drop_first else frames
 
     buf = None
     first = True
@@ -160,37 +179,91 @@ def streaming_decode(vae: VideoVAE, latent_iter: Iterator[jax.Array]
         while buf.shape[1] >= window + 1:
             piece = buf[:, :window + 1]
             buf = buf[:, window:]          # keep the overlap latent
-            yield flush(vae.spatial_tiled_decode(piece), drop_first=not first)
+            submit(vae.spatial_tiled_decode(piece), drop_first=not first)
             first = False
+            while len(pending) > prefetch:
+                yield materialize()
     # tail: a partial window (first latent is the overlap unless nothing
     # was emitted yet)
     if buf is not None and (buf.shape[1] > 1 or (first and buf.shape[1] == 1)):
-        yield flush(vae.spatial_tiled_decode(buf), drop_first=not first)
+        submit(vae.spatial_tiled_decode(buf), drop_first=not first)
+    while pending:
+        yield materialize()
 
 
 def reconstruct_video_streaming(vae: VideoVAE, in_path: str, out_path: str,
                                 *, height: Optional[int] = None,
                                 width: Optional[int] = None,
                                 max_frames: Optional[int] = None,
-                                dtype=jnp.bfloat16) -> dict:
+                                dtype=jnp.bfloat16,
+                                pipelined: bool = False) -> dict:
     """End-to-end bounded-memory reconstruction of an arbitrarily long
-    video.  Returns stats."""
+    video.  Returns stats.
+
+    ``pipelined=True`` overlaps the three host stages with device
+    compute: a background thread runs cv2 frame decode (cv2 releases
+    the GIL, so this helps even single-core and scales on real
+    multi-core serving hosts), the device->host fetch of each decoded
+    window is started asynchronously one window early
+    (streaming_decode(prefetch=1)), and mp4 encoding runs on a writer
+    thread behind a bounded queue.  Output bytes are identical to the
+    serial loop."""
     import cv2
     frames, fps = read_video_frames(in_path, height=height, width=width,
                                     max_frames=max_frames)
-    writer = None
-    n_out = 0
-    lat_frames = 0
-    for block in streaming_decode(vae, streaming_encode(vae, frames,
-                                                        dtype=dtype)):
-        if writer is None:
+    fetch_prefetch = 0
+    if pipelined:
+        from cvvae_tpu.data.pipeline import prefetched
+        window = vae.config.en_de_n_frames_a_time or 16
+        frames = prefetched(frames, size=2 * (window + 1))
+        fetch_prefetch = 1
+
+    blocks = streaming_decode(vae, streaming_encode(vae, frames,
+                                                    dtype=dtype),
+                              prefetch=fetch_prefetch)
+    state = {"writer": None, "n_out": 0}
+
+    def write_block(block):
+        if state["writer"] is None:
             h, w = block.shape[1:3]
-            writer = cv2.VideoWriter(out_path,
-                                     cv2.VideoWriter_fourcc(*"mp4v"), fps,
-                                     (w, h))
+            state["writer"] = cv2.VideoWriter(
+                out_path, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h))
         for f in block:
-            writer.write(cv2.cvtColor(f, cv2.COLOR_RGB2BGR))
-        n_out += len(block)
-    if writer is not None:
-        writer.release()
-    return {"frames_out": n_out, "fps": fps, "out_path": out_path}
+            state["writer"].write(cv2.cvtColor(f, cv2.COLOR_RGB2BGR))
+        state["n_out"] += len(block)
+
+    if pipelined:
+        import queue
+        import threading
+        q: "queue.Queue" = queue.Queue(maxsize=4)
+        err = []
+
+        def writer_loop():
+            while True:
+                block = q.get()
+                if block is None:
+                    return
+                try:
+                    write_block(block)
+                except BaseException as e:     # surface in the main thread
+                    err.append(e)
+                    return
+
+        th = threading.Thread(target=writer_loop, daemon=True)
+        th.start()
+        try:
+            for block in blocks:
+                if err:
+                    break
+                q.put(block)
+        finally:
+            q.put(None)
+            th.join()
+        if err:
+            raise err[0]
+    else:
+        for block in blocks:
+            write_block(block)
+    if state["writer"] is not None:
+        state["writer"].release()
+    return {"frames_out": state["n_out"], "fps": fps, "out_path": out_path}

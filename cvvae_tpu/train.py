@@ -30,8 +30,13 @@ def build_engine(model_cfg: Dict):
     assert isinstance(engine_cfg, EngineConfig)
     if "donate_state" not in model_cfg.get("engine", {}).get("params", {}):
         # real runs consume the state linearly — donate by default for
-        # the HBM headroom (tests construct EngineConfig directly)
+        # the HBM headroom (tests construct EngineConfig directly).
+        # This overrides EngineConfig's documented False default, so say
+        # so: a donated pre-step TrainState must not be read after
+        # train_step (set engine.params.donate_state: false to inspect).
         engine_cfg = dataclasses.replace(engine_cfg, donate_state=True)
+        print("[train] donate_state not set in config -> enabling state "
+              "donation (pre-step TrainState unreadable after train_step)")
     kwargs = {}
     ckpt = model_cfg.get("ckpt_path")
     frozen = model_cfg.get("frozen_ckpts", {})

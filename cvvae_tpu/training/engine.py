@@ -43,7 +43,8 @@ from cvvae_tpu.models.lpips import init_lpips
 from cvvae_tpu.models.vae2d import VAE2DConfig
 from cvvae_tpu.ops.distributions import DiagonalGaussian
 from cvvae_tpu.training.ema import EMAState, ema_init, ema_update
-from cvvae_tpu.training.optim import OptimConfig, make_optimizer
+from cvvae_tpu.training.optim import (OptimConfig, make_optimizer,
+                                      make_schedule, set_learning_rate)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -150,8 +151,13 @@ class TrainingEngine:
             # frozen nets are inference-only: store them directly in the
             # compute dtype (halves their HBM residency)
             self.frozen = self._cast_compute(self.frozen)
-        self.opt_g = make_optimizer(cfg.optim, cfg.optim.lr_g_factor)
-        self.opt_d = make_optimizer(cfg.optim, 1.0)
+        # Both schedules advance with the GLOBAL step (the reference
+        # steps both schedulers every batch, autoencoder.py:376-378);
+        # the LR is injected into the optimizer state each step.
+        self.opt_g = make_optimizer(cfg.optim)
+        self.opt_d = make_optimizer(cfg.optim)
+        self.lr_schedule_g = make_schedule(cfg.optim, cfg.optim.lr_g_factor)
+        self.lr_schedule_d = make_schedule(cfg.optim, 1.0)
         self._jitted_step = jax.jit(
             self._train_step,
             donate_argnums=(0,) if cfg.donate_state else ())
@@ -399,7 +405,9 @@ class TrainingEngine:
                 self._g_loss, has_aux=True)(
                 state.params, state.disc_params, batch, rng, state.step)
             grads = self._mask_frozen(dict(grads))
-            updates, opt_g = self.opt_g.update(grads, state.opt_g, state.params)
+            opt_g_in = set_learning_rate(state.opt_g,
+                                         self.lr_schedule_g(state.step))
+            updates, opt_g = self.opt_g.update(grads, opt_g_in, state.params)
             # mask updates too: AdamW's decoupled weight decay moves
             # parameters even at zero gradient (the reference freezes by
             # excluding from the optimizer, autoencoder.py:223-234)
@@ -420,7 +428,9 @@ class TrainingEngine:
             (loss, log), grads = jax.value_and_grad(
                 self._d_loss, has_aux=True)(
                 state.disc_params, state.params, batch, rng, state.step)
-            updates, opt_d = self.opt_d.update(grads, state.opt_d,
+            opt_d_in = set_learning_rate(state.opt_d,
+                                         self.lr_schedule_d(state.step))
+            updates, opt_d = self.opt_d.update(grads, opt_d_in,
                                                state.disc_params)
             disc_params = optax.apply_updates(state.disc_params, updates)
             new_state = state._replace(step=state.step + 1,
@@ -430,7 +440,13 @@ class TrainingEngine:
                             for k, v in log.items()})
             return new_state, metrics
 
-        is_g = (state.step % 2) == 0   # optimizer_idx = batch_idx % 2
+        # optimizer_idx = batch_idx % 2 (autoencoder.py:361), but while
+        # global_step < disc_start EVERY batch is a G update and the
+        # disc params are bit-frozen (:362-363 forces optimizer_idx=0 —
+        # merely zeroing the D loss would still let AdamW's decoupled
+        # weight decay shrink the disc every other step).
+        is_g = jnp.logical_or((state.step % 2) == 0,
+                              state.step < self.cfg.loss.disc_start)
         return jax.lax.cond(is_g, g_branch, d_branch, (state, batch, rng))
 
     def train_step(self, state: TrainState, batch: dict, rng: jax.Array

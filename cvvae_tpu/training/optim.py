@@ -114,15 +114,42 @@ def get_schedule(name: str, base_lr: float, *, num_warmup_steps: int = 0,
     raise ValueError(f"unknown scheduler {name!r}")
 
 
-def make_optimizer(cfg: OptimConfig, lr_factor: float = 1.0
-                   ) -> optax.GradientTransformation:
-    schedule = get_schedule(
+def make_schedule(cfg: OptimConfig, lr_factor: float = 1.0) -> Callable:
+    """The LR schedule as a function of the GLOBAL training step."""
+    return get_schedule(
         cfg.scheduler, cfg.base_lr * lr_factor,
         num_warmup_steps=cfg.num_warmup_steps,
         num_training_steps=cfg.num_training_steps,
         min_lr_ratio=cfg.min_lr_ratio)
+
+
+def make_optimizer(cfg: OptimConfig) -> optax.GradientTransformation:
+    """AdamW whose learning rate is injected per step via
+    ``set_learning_rate``.  The reference steps BOTH schedulers every
+    batch (lvdm/models/autoencoder.py:376-378), making LR a function of
+    the *global* step; baking an optax schedule into adamw would advance
+    it with the per-optimizer update count instead, which runs at half
+    rate under G/D alternation (warm-up would take 2x the configured
+    steps and the cosine horizon would stretch 2x)."""
     return optax.chain(
         optax.clip_by_global_norm(cfg.grad_clip),
-        optax.adamw(schedule, b1=cfg.betas[0], b2=cfg.betas[1],
-                    eps=cfg.eps, weight_decay=cfg.weight_decay),
+        optax.inject_hyperparams(optax.adamw)(
+            learning_rate=0.0, b1=cfg.betas[0], b2=cfg.betas[1],
+            eps=cfg.eps, weight_decay=cfg.weight_decay),
     )
+
+
+def set_learning_rate(opt_state, lr):
+    """Return a make_optimizer() state with the injected AdamW learning
+    rate replaced (jit-safe: rebuilds the state tuple, no mutation)."""
+    clip_state, adamw_state = opt_state
+    hp = dict(adamw_state.hyperparams)
+    hp["learning_rate"] = jnp.asarray(lr, jnp.float32)
+    return (clip_state, adamw_state._replace(hyperparams=hp))
+
+
+def applied_learning_rate(opt_state) -> jnp.ndarray:
+    """The LR currently baked into a make_optimizer() state (what the
+    next .update() call will apply) — lets the trainer log the applied
+    LR rather than re-deriving it."""
+    return opt_state[1].hyperparams["learning_rate"]

@@ -19,7 +19,6 @@ import numpy as np
 from cvvae_tpu.training.checkpoint import CheckpointManager
 from cvvae_tpu.training.engine import TrainingEngine, TrainState
 from cvvae_tpu.training.logging import ImageLogger, MetricsLogger
-from cvvae_tpu.training.optim import get_schedule
 
 
 def engine_params(state: TrainState) -> dict:
@@ -45,12 +44,11 @@ class Trainer:
         self.val_every = val_every
         self.log_every = log_every
         self.seed = seed
-        ocfg = engine.cfg.optim
-        self._lr_schedule = get_schedule(
-            ocfg.scheduler, ocfg.base_lr * ocfg.lr_g_factor,
-            num_warmup_steps=ocfg.num_warmup_steps,
-            num_training_steps=ocfg.num_training_steps,
-            min_lr_ratio=ocfg.min_lr_ratio)
+        # log the APPLIED LR: the engine injects these same schedules,
+        # evaluated at the global step, into each optimizer every step
+        # (lvdm/models/autoencoder.py:376-378 steps both schedulers per
+        # batch, so LR is a function of the global step)
+        self._lr_schedule = engine.lr_schedule_g
         if mesh is not None:
             from cvvae_tpu.parallel.mesh import shard_parallel_step
             self._step_fn = shard_parallel_step(engine._train_step, mesh,

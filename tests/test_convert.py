@@ -70,3 +70,42 @@ def test_lightning_ckpt_loading(tmp_path, hf_dir):
     k = np.asarray(tree["encoder"]["conv_in"]["kernel"])
     ref_k = ref.encoder.conv_in.weight.detach().numpy().transpose(2, 3, 4, 1, 0)
     np.testing.assert_array_equal(k, ref_k)
+
+
+@pytest.mark.slow
+def test_verify_checkpoints_harness(hf_dir, tmp_path):
+    """tools/verify_checkpoints.py end-to-end on a synthetic HF
+    checkpoint dir + synthetic clip: converts, reconstructs, emits the
+    PSNR report, and enforces the +-0.1 dB golden gate (both the pass
+    and the fail exit paths)."""
+    import sys
+    sys.path.insert(0, "/root/repo/tools")
+    import verify_checkpoints
+
+    path, _ = hf_dir
+    import numpy as np
+    from cvvae_tpu.data import video_io
+    rng = np.random.default_rng(0)
+    clip = str(tmp_path / "clip.mp4")
+    video_io.write_video(clip, rng.integers(0, 255, (9, 64, 64, 3),
+                                            dtype=np.uint8), fps=8)
+
+    out = str(tmp_path / "report.json")
+    rc = verify_checkpoints.main([
+        "--vae_path", path, "--clips", clip, "--height", "64",
+        "--width", "64", "--dtype", "fp32", "--out", out])
+    assert rc == 0
+    report = json.load(open(out))
+    (key, r), = report.items()
+    assert r["frames"] == 9 and np.isfinite(r["psnr_db"])
+
+    # golden gate: exact value passes, a 1 dB-off value fails (exit 1)
+    golden = str(tmp_path / "golden.json")
+    json.dump({key: r["psnr_db"]}, open(golden, "w"))
+    assert verify_checkpoints.main([
+        "--vae_path", path, "--clips", clip, "--height", "64",
+        "--width", "64", "--dtype", "fp32", "--golden", golden]) == 0
+    json.dump({key: r["psnr_db"] + 1.0}, open(golden, "w"))
+    assert verify_checkpoints.main([
+        "--vae_path", path, "--clips", clip, "--height", "64",
+        "--width", "64", "--dtype", "fp32", "--golden", golden]) == 1

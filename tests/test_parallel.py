@@ -162,3 +162,38 @@ def test_videovae_with_mesh_time_matches_single_device():
     with pytest.raises(ValueError, match="divisible"):
         tvae.encode(jax.random.normal(jax.random.PRNGKey(2),
                                       (1, 17, 32, 32, 3)))
+
+
+def test_temporal_sharded_decoder_matches_unsharded_8way():
+    """T-axis sharded DECODER == unsharded on the full 8-way mesh, both
+    families (the driver dryrun exercises the sharded encoder; this
+    pins the decoder nets, incl. v1's temporal-interleave upsample)."""
+    from cvvae_tpu.models import vae_sd3, vae_v1
+    from cvvae_tpu.parallel.mesh import temporal_sharding
+
+    mesh = make_mesh(8)
+    sharded = temporal_sharding(mesh)
+
+    net3 = vae_sd3.VAESD3Config(block_out_channels=(8, 8, 8, 8),
+                                layers_per_block=1, latent_channels=4,
+                                norm_num_groups=4)
+    p3 = vae_sd3.init_decoder(jax.random.PRNGKey(0), net3)
+    z3 = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 4, 6, 4))
+    y_ref = vae_sd3.apply_decoder(p3, z3, net3)
+    dec3 = jax.jit(lambda p, v: vae_sd3.apply_decoder(p, v, net3),
+                   in_shardings=(None, sharded))
+    y = dec3(p3, jax.device_put(z3, sharded))
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               atol=3e-5, rtol=1e-4)
+
+    net1 = vae_v1.VAE1Config(ch=8, ch_mult=(1, 2, 4, 4), num_res_blocks=1,
+                             z_channels=4, norm_num_groups=4)
+    p1 = vae_v1.init_decoder(jax.random.PRNGKey(2), net1)
+    z1 = jax.random.normal(jax.random.PRNGKey(3), (1, 8, 4, 6, 4))
+    y1_ref = vae_v1.apply_decoder(p1, z1, net1)
+    dec1 = jax.jit(lambda p, v: vae_v1.apply_decoder(p, v, net1),
+                   in_shardings=(None, sharded))
+    y1 = dec1(p1, jax.device_put(z1, sharded))
+    assert y1.shape[1] == 4 * 8 - 3  # interleave upsample: odd T out
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y1_ref),
+                               atol=3e-5, rtol=1e-4)

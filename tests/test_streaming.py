@@ -101,3 +101,50 @@ def test_streaming_encode_chunk_batched_ragged_tail(vae):
         vae, iter(frames_u8), dtype=jnp.float32, chunk_batch=2)), axis=1)
     assert z1.shape == z2.shape == (1, 6, 2, 2, 4)
     np.testing.assert_allclose(np.asarray(z2), np.asarray(z1), atol=1e-5)
+
+
+def test_streaming_decode_prefetch_bit_identical(vae):
+    """prefetch>0 (async fetch pipeline) emits the exact bytes of the
+    serial loop, including the ragged-tail window."""
+    rs = np.random.RandomState(2)
+    z = jnp.asarray(rs.randn(1, 6, 2, 2, 4).astype(np.float32))
+    ser = list(streaming_decode(vae, iter([z[:, :3], z[:, 3:]])))
+    for prefetch in (1, 3):
+        pipe = list(streaming_decode(vae, iter([z[:, :3], z[:, 3:]]),
+                                     prefetch=prefetch))
+        assert len(pipe) == len(ser)
+        for a, b in zip(pipe, ser):
+            np.testing.assert_array_equal(a, b)
+
+
+def test_streaming_roundtrip_pipelined_matches_serial(vae, tmp_path):
+    """The pipelined host loop (decode thread + async fetch + writer
+    thread) writes the same video as the serial path."""
+    import cv2
+    from cvvae_tpu.streaming import reconstruct_video_streaming
+    path = tmp_path / "in.mp4"
+    w = cv2.VideoWriter(str(path), cv2.VideoWriter_fourcc(*"mp4v"), 10,
+                        (16, 16))
+    rs = np.random.RandomState(3)
+    for f in range(21):
+        w.write(rs.randint(0, 255, (16, 16, 3), dtype=np.uint8))
+    w.release()
+
+    def read_all(p):
+        cap = cv2.VideoCapture(str(p))
+        frames = []
+        while True:
+            ok, f = cap.read()
+            if not ok:
+                break
+            frames.append(f)
+        cap.release()
+        return np.stack(frames)
+
+    out_s, out_p = tmp_path / "serial.mp4", tmp_path / "pipe.mp4"
+    st_s = reconstruct_video_streaming(vae, str(path), str(out_s),
+                                       dtype=jnp.float32)
+    st_p = reconstruct_video_streaming(vae, str(path), str(out_p),
+                                       dtype=jnp.float32, pipelined=True)
+    assert st_s["frames_out"] == st_p["frames_out"] == 21
+    np.testing.assert_array_equal(read_all(out_s), read_all(out_p))

@@ -89,9 +89,32 @@ def test_serving_decode_tile_plan():
     tile, ratio = serving_decode_tiles(720, 1280)
     assert tile == (720, 672)
     lat_w, lat_tw = 1280 // 8, tile[1] // 8
-    stride = round(lat_tw * (1 - ratio))
+    stride = round(lat_tw * (1 - ratio[1]))
     assert stride == lat_tw - 8
     # grid covers the latent width
     pos = list(range(0, lat_w, stride))
     covered = max(p + lat_tw for p in pos[:2])
     assert covered >= lat_w
+
+
+def test_serving_decode_tile_plan_tall_and_wide():
+    """>720-height frames (the per-axis-overlap regression) and widths
+    whose even split exceeds the 720-px cap: every axis tiles at <=720
+    px, every axis' output overlap rounds to exactly 64 px, and the
+    real _spatial_tiled geometry reproduces the exact frame size."""
+    from cvvae_tpu.cli import serving_decode_tiles
+    from cvvae_tpu.models.video_vae import VideoVAE
+
+    for h, w in [(1080, 1920), (720, 1440), (2160, 3840), (1080, 1080)]:
+        tile, ratio = serving_decode_tiles(h, w)
+        (th, tw), (rh, rw) = tile, ratio
+        assert th <= 720 and tw <= 720, (h, w, tile)
+        assert round(th * rh) == 64 and round(tw * rw) == 64
+        cfg = _cfg(tile_spatial_size=tile, tile_overlap_ratio=ratio)
+        vae = VideoVAE.from_config(cfg, seed=0)
+        z = jnp.zeros((1, 1, h // 8, w // 8, 4))
+        up = lambda v: jnp.repeat(
+            jnp.repeat(v[..., :3], 8, axis=2), 8, axis=3)
+        out = vae._spatial_tiled(z, up, cfg.latent_tile_size,
+                                 cfg.pixel_tile_size)
+        assert out.shape == (1, 1, h, w, 3), (h, w, out.shape, tile, ratio)

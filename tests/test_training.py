@@ -211,3 +211,68 @@ def test_bf16_compute_mode():
     # D step runs too
     s16_d, md = e16.train_step(s16_g, batch, rng)
     assert np.isfinite(float(md["loss/disc"]))
+
+
+def test_lr_schedule_global_step_basis():
+    """The applied LR is the schedule evaluated at the GLOBAL step for
+    both optimizers — the reference steps both schedulers every batch
+    (lvdm/models/autoencoder.py:376-378), so after N interleaved G/D
+    steps each optimizer's LR must match the reference formula at the
+    global step, not at its own (half-rate) update count."""
+    from cvvae_tpu.training.optim import applied_learning_rate
+
+    eng = tiny_engine("none", disc_start=0)
+    # non-trivial warm-up so the LR changes every global step
+    import dataclasses
+    eng.cfg = dataclasses.replace(
+        eng.cfg, optim=OptimConfig(base_lr=1e-3, num_warmup_steps=10,
+                                   num_training_steps=100))
+    from cvvae_tpu.training.optim import make_optimizer, make_schedule
+    eng.opt_g = make_optimizer(eng.cfg.optim)
+    eng.opt_d = make_optimizer(eng.cfg.optim)
+    eng.lr_schedule_g = make_schedule(eng.cfg.optim,
+                                      eng.cfg.optim.lr_g_factor)
+    eng.lr_schedule_d = make_schedule(eng.cfg.optim, 1.0)
+    eng._jitted_step = jax.jit(eng._train_step)
+
+    state = eng.init_state(jax.random.PRNGKey(0))
+    batch = {"frames": jax.random.normal(jax.random.PRNGKey(1),
+                                         (1, 5, 16, 16, 3)) * 0.5}
+    for i in range(6):
+        gstep = int(state.step)
+        state, _ = eng.train_step(state, batch, jax.random.PRNGKey(10 + i))
+        if gstep % 2 == 0:  # G update at global step `gstep`
+            applied = float(applied_learning_rate(state.opt_g))
+            expect = float(eng.lr_schedule_g(gstep))
+        else:               # D update
+            applied = float(applied_learning_rate(state.opt_d))
+            expect = float(eng.lr_schedule_d(gstep))
+        assert applied == pytest.approx(expect, rel=1e-6), (gstep, applied)
+        # reference formula: linear warm-up lr = base * factor * step/warm
+        factor = eng.cfg.optim.lr_g_factor if gstep % 2 == 0 else 1.0
+        assert applied == pytest.approx(1e-3 * factor * gstep / 10, rel=1e-5)
+
+
+def test_disc_warmup_forces_g_updates():
+    """While global_step < disc_start every batch is a G update and the
+    disc params are BIT-frozen (autoencoder.py:362-363 forces
+    optimizer_idx=0; zeroing only the D loss would still apply AdamW
+    weight decay to the disc every other step)."""
+    eng = tiny_engine("none", disc_start=4)
+    state = eng.init_state(jax.random.PRNGKey(0))
+    disc0 = state.disc_params
+    batch = {"frames": jax.random.normal(jax.random.PRNGKey(1),
+                                         (1, 5, 16, 16, 3)) * 0.5}
+    # steps 0..4 are all G updates (0-3 forced by warm-up, 4 by parity)
+    for i in range(5):
+        prev = state
+        state, m = eng.train_step(state, batch, jax.random.PRNGKey(20 + i))
+        assert not leaf_equal(state.params["decoder"],
+                              prev.params["decoder"]), i
+        assert leaf_equal(state.disc_params, disc0), i
+        assert float(m["loss/disc"]) == 0.0
+    assert int(state.step) == 5
+    # step 5: first D update — disc params finally move
+    state, m = eng.train_step(state, batch, jax.random.PRNGKey(30))
+    assert not leaf_equal(state.disc_params, disc0)
+    assert float(m["loss/disc"]) > 0.0

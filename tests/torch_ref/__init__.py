@@ -22,9 +22,23 @@ def reference_available() -> bool:
 
 
 def load_reference_module(name: str):
-    """Import e.g. 'models.vae_models' from the reference repo."""
+    """Import e.g. 'models.vae_models' from the reference repo.
+
+    For 'lvdm.*' targets the `lvdm` and `lvdm.modules` package __init__
+    files are bypassed with namespace shims: they eagerly import the
+    Lightning/conditioner stack (lvdm/__init__.py:1-2,
+    lvdm/modules/__init__.py:1), which needs pytorch_lightning /
+    open_clip — not installed here and irrelevant to the leaf modules
+    the golden tests exercise."""
     from tests.torch_ref import stubs
     stubs.install()
     if REFERENCE_ROOT not in sys.path:
         sys.path.insert(0, REFERENCE_ROOT)
+    if name.startswith("lvdm."):
+        import types
+        for pkg, sub in [("lvdm", "lvdm"), ("lvdm.modules", "lvdm/modules")]:
+            if pkg not in sys.modules:
+                m = types.ModuleType(pkg)
+                m.__path__ = [os.path.join(REFERENCE_ROOT, sub)]
+                sys.modules[pkg] = m
     return importlib.import_module(name)

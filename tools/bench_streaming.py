@@ -25,6 +25,12 @@ def main():
     ap.add_argument("--video",
                     default="/root/reference/data/4896510-hd_1280_720_30fps.mp4")
     ap.add_argument("--max_frames", type=int, default=301)
+    ap.add_argument("--pipelined", action="store_true",
+                    help="background cv2-decode thread + async D2H fetch "
+                         "(streaming.py pipelined mode)")
+    ap.add_argument("--breakdown", action="store_true",
+                    help="also time host decode alone and device-resident "
+                         "compute alone (the PERF.md gap table)")
     args = ap.parse_args()
 
     from cvvae_tpu.models.video_vae import VideoVAE, VideoVAEConfig
@@ -53,17 +59,39 @@ def main():
     for _ in streaming_decode(vae, streaming_encode(vae, iter(warm))):
         pass
 
+    if args.breakdown:
+        # (a) host video decode alone
+        t0 = time.perf_counter()
+        frames, _ = read_video_frames(args.video, height=720, width=1280,
+                                      max_frames=args.max_frames)
+        host_frames = list(frames)
+        dt = time.perf_counter() - t0
+        print(f"  host cv2 decode alone:     {len(host_frames)/dt:6.2f} fps")
+        # (b) device-resident compute alone (frames pre-decoded)
+        t0 = time.perf_counter()
+        n = 0
+        for x in streaming_decode(vae,
+                                  streaming_encode(vae, iter(host_frames))):
+            n += x.shape[0]
+        dt = time.perf_counter() - t0
+        print(f"  pre-decoded stream:        {n/dt:6.2f} fps "
+              f"(device + D2H, no cv2)")
+
     frames, fps_in = read_video_frames(args.video, height=720, width=1280,
                                        max_frames=args.max_frames)
+    prefetch = 0
+    if args.pipelined:
+        from cvvae_tpu.data.pipeline import prefetched
+        frames = prefetched(frames, size=34)
+        prefetch = 1
     n_out = 0
     t0 = time.perf_counter()
     zs = streaming_encode(vae, frames)
-    # (a prefetched() wrapper measured -8% on this 1-core host: the
-    # fetch thread competes with cv2 decode; plain loop wins here)
-    for x in streaming_decode(vae, zs):
+    for x in streaming_decode(vae, zs, prefetch=prefetch):
         n_out += x.shape[0]   # (T, H, W, 3) uint8 frame blocks (host)
     dt = time.perf_counter() - t0
-    print(f"streamed {n_out} frames 720p ({args.dtype}) in {dt:.1f} s "
+    tag = "pipelined" if args.pipelined else "serial"
+    print(f"streamed {n_out} frames 720p ({args.dtype}, {tag}) in {dt:.1f} s "
           f"-> {n_out/dt:.2f} fps sustained incl. host decode + D2H "
           f"({n_out/dt/30:.3f}x realtime-30)")
 
