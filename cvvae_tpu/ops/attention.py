@@ -84,7 +84,17 @@ def _flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     return out[:, 0, :s]
 
 
-_DISABLE_FLASH = False
+#: Flash is OPT-IN, not the default.  Measured on v5e at the mid-block
+#: shape (5, ~8100, 512): query-blocked exact q=512 ~4 ms vs the Pallas
+#: flash custom call ~9 ms (PERF.md "attention variants"; re-confirmed
+#: round 3 in-situ: apply_attn 9.7 ms exact vs 14.6 ms flash at
+#: (5,90,84,512), tools/probe_dec_lowres.py).  Single-head C=512 rows
+#: are wide enough that the XLA scan already streams at MXU rate, and
+#: flash pays padding-to-512-multiples + custom-call layout boundaries.
+#: Keeping no custom call in the program also removes the int8
+#: coexistence pathology entirely (int8 + flash measured ~10x,
+#: PERF.md).
+_FLASH_MODE = "off"    # "off" | "on"
 
 
 @contextlib.contextmanager
@@ -98,17 +108,31 @@ def no_flash_attention():
     conv).  The quantized VideoVAE wraps its traced functions in this
     context; exact attention at the mid-block sizes costs only a few ms.
     """
-    global _DISABLE_FLASH
-    prev = _DISABLE_FLASH
-    _DISABLE_FLASH = True
+    global _FLASH_MODE
+    prev = _FLASH_MODE
+    _FLASH_MODE = "off"
     try:
         yield
     finally:
-        _DISABLE_FLASH = prev
+        _FLASH_MODE = prev
+
+
+@contextlib.contextmanager
+def flash_attention_enabled():
+    """Trace-time opt-in to the Pallas flash kernel (benchmarks/tests;
+    slower than the q=512 exact path at this model's shapes — see
+    _FLASH_MODE note)."""
+    global _FLASH_MODE
+    prev = _FLASH_MODE
+    _FLASH_MODE = "on"
+    try:
+        yield
+    finally:
+        _FLASH_MODE = prev
 
 
 def _flash_usable(q: jax.Array) -> bool:
-    if _DISABLE_FLASH:
+    if _FLASH_MODE != "on":
         return False
     if q.dtype != jnp.bfloat16 or q.shape[1] < 1024:
         return False

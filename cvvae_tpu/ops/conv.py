@@ -167,6 +167,13 @@ def conv3d(x: jax.Array, params: dict, spec: Conv3DSpec, *,
         kernel = kernel.astype(x.dtype)
 
     c_in = kernel.shape[3]
+    from cvvae_tpu.ops.pallas.stem import stem_conv3d, stem_usable
+    if stem_usable(x, kernel, spec):
+        # Pallas stem kernel: contiguous folded-W DMA + one 81-deep MXU
+        # dot — removes the stacked lowering's ~9x strided-view HBM
+        # traffic (see ops/pallas/stem.py; guarded by stem_usable and
+        # the no_pallas_stem() trace-time switch)
+        return stem_conv3d(x, kernel, params.get("bias"), spec)
     if (c_in <= 8 and spec.kernel[0] * spec.kernel[1] > 1
             and spec.stride[0] == 1 and spec.stride[1] == 1):
         # Stem convs (Cin=3 pixels / 4-16 latents): XLA's TPU conv

@@ -65,3 +65,25 @@ def test_flash_attention_matches_exact(s):
     # didn't silently change S)
     if s % 512:
         assert (-(-s // 512) * 512) != s
+
+
+@pytest.mark.parametrize("cin,modes,pads", [
+    (3, ("edge", "zero", "zero"), ((2, 0), (1, 1), (1, 1))),  # v1 stem
+    (4, ("zero", "zero", "zero"), ((1, 1), (1, 1), (1, 1))),  # latent stem
+])
+def test_pallas_stem_matches_conv3d(cin, modes, pads):
+    """ops/pallas/stem.py == the XLA conv lowering for both stem
+    flavours (causal pixel stem, zero-pad latent stem), via the Pallas
+    interpreter so the CPU suite runs the real kernel body."""
+    from cvvae_tpu.ops.conv import Conv3DSpec, conv3d
+    from cvvae_tpu.ops.pallas.stem import stem_conv3d
+
+    spec = Conv3DSpec((3, 3, 3), (1, 1, 1), pads, modes)
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (1, 5, 16, 12, cin), jnp.float32)
+    k = 0.1 * jax.random.normal(key, (3, 3, 3, cin, 128), jnp.float32)
+    b = jax.random.normal(key, (128,), jnp.float32)
+    ref = conv3d(x, {"kernel": k, "bias": b}, spec)
+    got = stem_conv3d(x, k, b, spec, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)

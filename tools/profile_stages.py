@@ -25,7 +25,18 @@ def time_prefixes(named_stages, x0, iters):
     Each prefix returns an in-jit scalar checksum (a full fetch of the
     multi-GB stage outputs would double peak HBM via the fp32 convert)."""
     results = {}
-    prev = 0.0
+    # Baseline: an empty program on the same input — the ~30-35 ms
+    # dispatch+fetch tunnel overhead otherwise lands entirely on the
+    # FIRST stage's differenced time (this inflated dec conv_in to
+    # "32 ms" in round 2; its isolated cost is ~3.6 ms).
+    jb = jax.jit(lambda h: jnp.sum(h[..., 0, 0].astype(jnp.float32)))
+    float(jb(x0))
+    prev = float("inf")
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        float(jb(x0))
+        prev = min(prev, time.perf_counter() - t0)
+    print(f"  {'(dispatch baseline)':<16s} {prev*1000:8.1f} ms", flush=True)
     fns = []
     for name, fn in named_stages:
         fns.append(fn)
