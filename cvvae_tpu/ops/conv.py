@@ -169,10 +169,10 @@ def conv3d(x: jax.Array, params: dict, spec: Conv3DSpec, *,
     c_in = kernel.shape[3]
     from cvvae_tpu.ops.pallas.stem import stem_conv3d, stem_usable
     if stem_usable(x, kernel, spec):
-        # Pallas stem kernel: contiguous folded-W DMA + one 81-deep MXU
-        # dot — removes the stacked lowering's ~9x strided-view HBM
-        # traffic (see ops/pallas/stem.py; guarded by stem_usable and
-        # the no_pallas_stem() trace-time switch)
+        # Pallas stem kernel: one deinterleave pass + aligned row-band
+        # DMAs + a 27-deep MXU dot with the kW shift on the output side
+        # — removes the stacked lowering's ~9x strided-view HBM traffic
+        # (ops/pallas/stem.py; guarded by stem_usable / no_pallas_stem())
         return stem_conv3d(x, kernel, params.get("bias"), spec)
     if (c_in <= 8 and spec.kernel[0] * spec.kernel[1] > 1
             and spec.stride[0] == 1 and spec.stride[1] == 1):

@@ -8,28 +8,39 @@ fixes the depth but pays ~36 ms/720p-clip in HBM for the 9 shifted-view
 copies — the 3-channel minor dimension forces 6-byte strided reads at an
 effective ~24 GB/s (PERF.md round-2 "measured and rejected" notes).
 
-This kernel removes the materialisation entirely:
+This kernel (v4) removes the 9x materialisation:
 
-* the input is FOLDED to (T, H, W*C) — a free reshape, channel minor
-  collapses into W, so every HBM access is contiguous full-bandwidth;
-* each grid step DMAs one (kT, bh + kH-1, (W+2p)*C) row band into VMEM
-  (the only HBM reads: ~1x the input, vs ~9x strided for the stacked
-  lowering);
-* the kT*kH*kW*Cin tap stack is built by VMEM slice+reshape (free
-  compared to HBM) and contracted in ONE MXU dot of depth
-  kT*kH*kW*Cin (81 for Cin=3, 108 for the Cin=4 latent stem) with fp32
-  accumulation;
+* the input is DEINTERLEAVED once outside the kernel to (C, T, H, W) —
+  one XLA transpose pass over the input (~1x strided read) instead of 9
+  shifted strided copies, and it gives the kernel a layout whose tiled
+  dims (H, W) support aligned DMA slicing.  Feeding the (T, H, W, C)
+  array directly is not an option: Mosaic lane-pads the C=3 minor dim
+  to 128 (42x HBM blowup) and rejects the unaligned W-band slices
+  ("Slice shape along dimension 2 must be aligned to tiling (8)").
+* each grid step DMAs one (C, kT, bh+8, Wp) row band into VMEM — H
+  offset/extent both 8-aligned (the +8 over-read vs the needed bh+2
+  keeps alignment; H is zero-padded to h_out+8 to cover the last band);
+* the kT*kH*Cin tap matrix is built from FULL W rows only (every slice
+  is lane-offset-0, so the sublane concat is legal — v2's kW-sliced
+  rows died on "result/input offset mismatch on non-concat dimension");
+* the kW shift moves to the OUTPUT side (the standard conv dual): one
+  MXU dot of depth kT*kH*Cin against the (kT*kH*Cin, kW*Cout) combined
+  weight, fp32 accumulation, then the result's three lane-aligned
+  column blocks are summed at sublane offsets 0/1/2;
 * output writes are the unavoidable (T, H, W, Cout) stream.
 
-Speed of light = input read + output write ≈ 14 ms for the 720p
-17-frame encoder stem (4.0 GB out at ~304 GB/s) vs ~43 ms measured for
-the stacked lowering.
+Speed of light = deinterleave (~1x strided input read) + band reads
+(~6x contiguous input) + output write ≈ 18 ms for the 720p 17-frame
+encoder stem (4.0 GB out at ~304 GB/s) vs ~43 ms measured for the
+stacked lowering.
 
-Caveat (why this is guarded): mixing Pallas custom calls with int8
-convolutions in one XLA program was a measured ~10x pathology for the
-flash-attention kernel (PERF.md).  `tools/probe_stem_pallas.py` measures
-this kernel standalone AND inside an int8 conv chain before it is
-enabled anywhere; `stem_conv3d_enabled` is the trace-time switch.
+Measured (tools/probe_stem_pallas.py, v5e, 2026-08-17): encoder stem
+34.6 -> 28.2 ms standalone (1.23x), and NO custom-call pathology inside
+an int8 conv program (45.1 vs 85.9 ms for the XLA stem in the same
+chain — the Pallas kernel also avoids the layout thrash the stacked
+lowering's strided views trigger next to int8 convs).  The Cin=4
+decoder latent stem measured neutral (9.1 vs 9.4 ms), so `stem_usable`
+accepts only the Cin=3 pixel stem.
 """
 
 from __future__ import annotations
@@ -42,16 +53,15 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-#: OFF by default: the kernel body is numerically correct (interpreter
-#: test in tests/test_pallas_kernels.py) but real Mosaic rejects the
-#: in-kernel minor-dim unfold `(bh, W*C) -> (bh, W, C)` as an
-#: unsupported vector shape cast (measured 2026-08-17, jax 0.9 /
-#: v5e: "infer-vector-layout: unsupported shape cast ... vector<8x3840
-#: xbf16> -> vector<8x1280x3xbf16>").  The tap matrix needs taps in the
-#: minor dim while the source is positions-minor — a relayout Mosaic
-#: cannot express cheaply today.  See tools/probe_stem_pallas.py for
-#: the measurement and PERF.md for the writeup.
-_ENABLED = False
+#: Trace-time switch, env-overridable for A/B runs (CVVAE_PALLAS_STEM=
+#: 0/1); `no_pallas_stem()` / `pallas_stem()` override in-process.
+#: Default OFF: despite winning in isolation (28.2 vs 34.6 ms) and
+#: showing no int8 custom-call pathology, the kernel measured a NET
+#: END-TO-END LOSS in the full serving program (bf16 7.00 -> 6.56 fps,
+#: int8 9.62 -> 9.33) — see PERF.md round-3 notes.
+import os as _os
+
+_ENABLED = _os.environ.get("CVVAE_PALLAS_STEM", "0") == "1"
 
 
 @contextlib.contextmanager
@@ -87,9 +97,11 @@ def stem_usable(x: jax.Array, kernel: jax.Array, spec) -> bool:
     kt, kh, kw = spec.kernel
     if (kt, kh, kw) != (3, 3, 3) or spec.stride != (1, 1, 1):
         return False
-    if kernel.shape[3] > 4 or x.shape[0] != 1:
+    # Cin=3 pixel stem only: the Cin=4 latent stem measured neutral
+    # (9.1 vs 9.4 ms) and smaller shapes don't amortise the grid
+    if kernel.shape[3] != 3 or x.shape[0] != 1:
         return False
-    # W-axis edge padding would break the contiguous fold; zero is fine
+    # W-axis edge padding would break the zero-pad fold; zero is fine
     if spec.modes[2] != "zero":
         return False
     h_out = x.shape[2] + spec.pads[1][0] + spec.pads[1][1] - 2
@@ -98,41 +110,35 @@ def stem_usable(x: jax.Array, kernel: jax.Array, spec) -> bool:
     return jax.devices()[0].platform == "tpu"
 
 
-def _stem_kernel(x_hbm, w_ref, b_ref, o_ref, xbuf, sem, *, bh, w_out, c_in):
+def _stem_kernel(x_hbm, w_ref, b_ref, o_ref, xbuf, sem, *, bh, w_out, c_in,
+                 c_out):
     """Grid step (t, i): output rows [i*bh, i*bh+bh) of frame t.
 
-    Layout strategy (constraints Mosaic actually supports — the v1
-    folded-W design died on an `(bh, W*C) -> (bh, W, C)` minor-dim
-    vector cast):
-      * channels are split at the DMA level: one strided HBM->VMEM copy
-        per input channel (rectangular slice with unit last-dim extent),
-        so in VMEM every plane is W-minor and every tap slice is
-        contiguous-with-offset;
-      * the (taps, W) matrix is built with SUBLANE concats of (1, W)
-        rows — no minor-dim reshapes;
-      * the contraction is dot_general over dim 0 of both operands
-        (A^T B), depth kT*kH*kW*Cin, fp32 accumulation, one dot per
-        output row.
+    x_hbm is the deinterleaved (C, Tp, Hp, Wp) input (Hp = h_out+8,
+    zero-padded); one aligned DMA pulls the (C, 3, bh+8, Wp) band this
+    block needs (rows [i*bh, i*bh+bh+2) used, +6 over-read for the
+    8-alignment of the H extent).
     """
     t = pl.program_id(0)
     i = pl.program_id(1)
-    for c in range(c_in):
-        cp = pltpu.make_async_copy(
-            x_hbm.at[pl.ds(t, 3), pl.ds(i * bh, bh + 2), :, c],
-            xbuf.at[c], sem)
-        cp.start()
-        cp.wait()
+    cp = pltpu.make_async_copy(
+        x_hbm.at[:, pl.ds(t, 3), pl.ds(i * bh, bh + 8), :],
+        xbuf, sem)
+    cp.start()
+    cp.wait()
     for h in range(bh):
         rows = []
         for dt in range(3):
             for dh in range(3):
-                for dw in range(3):
-                    for c in range(c_in):
-                        rows.append(xbuf[c, dt, h + dh, dw:dw + w_out][None])
-        z = jnp.concatenate(rows, axis=0)            # (27*C, W)
-        y = jax.lax.dot_general(
+                for c in range(c_in):
+                    rows.append(xbuf[c, dt, h + dh, :][None])
+        z = jnp.concatenate(rows, axis=0)            # (9*C, Wp), offset 0
+        q = jax.lax.dot_general(
             z, w_ref[:, :], (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)       # (W, Cout)
+            preferred_element_type=jnp.float32)       # (Wp, 3*Cout)
+        y = (q[0:w_out, 0:c_out]
+             + q[1:1 + w_out, c_out:2 * c_out]
+             + q[2:2 + w_out, 2 * c_out:3 * c_out])
         y = y + b_ref[:, :].astype(jnp.float32)
         o_ref[0, h, :, :] = y.astype(o_ref.dtype)
 
@@ -145,7 +151,9 @@ def _stem_call(x, kernel, bias, *, pads, modes, block_h=8,
     _, t_in, h_in, w_in, c_in = x.shape
     c_out = kernel.shape[4]
     # materialise T/H padding (edge = causal replicate, or zero); W zero
-    # padding folds into the contiguous minor dim
+    # padding is materialised too (the deinterleaved layout keeps it
+    # contiguous), plus 6 extra zero H rows so every (bh+8)-row DMA band
+    # stays in bounds
     widths = [(0, 0)] + [tuple(p) for p in pads] + [(0, 0)]
     ew = [(0, 0)] * 5
     zw = [(0, 0)] * 5
@@ -154,23 +162,35 @@ def _stem_call(x, kernel, bias, *, pads, modes, block_h=8,
     xp = x
     if any(p != (0, 0) for p in ew):
         xp = jnp.pad(xp, ew, mode="edge")
-    if any(p != (0, 0) for p in zw):
-        xp = jnp.pad(xp, zw)
+    zw[2] = (zw[2][0], zw[2][1] + 6)
+    # W additionally zero-pads to a multiple of 128 (the lane tiling):
+    # the band DMA must copy the FULL lane extent — Mosaic rejects
+    # lane-dim slices whose extent is not 128-aligned ("Slice shape
+    # along dimension 3 must be aligned to tiling (128)")
+    w_conv = w_in + zw[3][0] + zw[3][1]
+    zw[3] = (zw[3][0], zw[3][1] + (-w_conv) % 128)
+    xp = jnp.pad(xp, zw)
     _, t_p, h_p, w_p, _ = xp.shape
-    t_out, h_out, w_out = t_p - 2, h_p - 2, w_p - 2
+    t_out, h_out = t_p - 2, h_p - 8
+    w_out = w_conv - 2
 
     bh = block_h
-    assert h_out % bh == 0, (h_out, bh)
-    w2 = kernel.reshape(27 * c_in, c_out)
+    assert h_out % bh == 0 and bh % 8 == 0, (h_out, bh)
+    # deinterleave: one strided-read pass (vs 9 for the tap stack)
+    xc = jnp.moveaxis(xp[0], -1, 0)                  # (C, Tp, Hp, Wp)
+    # combined weight: rows (dt, dh, c) to match the tap-matrix order,
+    # columns (dw, c_out) so the kW shift lands in lane-aligned blocks
+    w2 = kernel.transpose(0, 1, 3, 2, 4).reshape(9 * c_in, 3 * c_out)
     grid = (t_out, h_out // bh)
     out = pl.pallas_call(
-        functools.partial(_stem_kernel, bh=bh, w_out=w_out, c_in=c_in),
+        functools.partial(_stem_kernel, bh=bh, w_out=w_out, c_in=c_in,
+                          c_out=c_out),
         out_shape=jax.ShapeDtypeStruct((t_out, h_out, w_out, c_out),
                                        x.dtype),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),        # manual DMA
-            pl.BlockSpec((27 * c_in, c_out), lambda t, i: (0, 0),
+            pl.BlockSpec((9 * c_in, 3 * c_out), lambda t, i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, c_out), lambda t, i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -179,11 +199,11 @@ def _stem_call(x, kernel, bias, *, pads, modes, block_h=8,
                                lambda t, i: (t, i, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((c_in, 3, bh + 2, w_p), x.dtype),
+            pltpu.VMEM((c_in, 3, bh + 8, w_p), x.dtype),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
-    )(xp[0], w2, bias.reshape(1, c_out))
+    )(xc, w2, bias.reshape(1, c_out))
     return out[None]
 
 
