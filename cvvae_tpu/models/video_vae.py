@@ -220,7 +220,7 @@ class VideoVAE:
         return VideoVAE(self.config, params)
 
     def quantize(self, *, min_cin: int = 64, calibration=None,
-                 margin: float = 1.1) -> "VideoVAE":
+                 margin: float = 1.1, skip_paths=()) -> "VideoVAE":
         """int8 serving mode: per-channel weight quantization of the big
         convs (see ops/quant.py); quality-gated vs the bf16 path in
         tests/test_quant.py.
@@ -239,7 +239,8 @@ class VideoVAE:
         from cvvae_tpu.ops.quant import (attach_activation_scales,
                                          calibration_scope,
                                          quantize_conv_params)
-        qparams = quantize_conv_params(self.params, min_cin=min_cin)
+        qparams = quantize_conv_params(self.params, min_cin=min_cin,
+                                       skip_paths=tuple(skip_paths))
         if calibration is None:
             return VideoVAE(self.config, qparams)
         q = VideoVAE(self.config, qparams)

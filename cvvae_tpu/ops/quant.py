@@ -160,7 +160,7 @@ def conv_int8(xq: jax.Array, scale_x: jax.Array, kernel_fp: jax.Array,
 
 
 def quantize_conv_params(params, *, min_cin: int = 64, min_cout: int = 16,
-                         skip_paths: Tuple[str, ...] = ("mid",)):
+                         skip_paths: Tuple[str, ...] = ()):
     """Walk a model params tree; replace eligible conv kernels with
     int8 + per-channel scales.  A conv leaf-dict {kernel, bias?} whose
     kernel is 5D with C_in >= min_cin, C_out >= min_cout (keeps the
@@ -168,10 +168,13 @@ def quantize_conv_params(params, *, min_cin: int = 64, min_cout: int = 16,
     {kernel_q, scale_w, bias?}.  Everything else is untouched.
 
     ``skip_paths``: subtrees whose key contains any of these substrings
-    stay fp.  Default skips the attention mid-blocks: int8 convs
-    interleaved with the Pallas flash-attention kernel measured ~100x
-    slower on v5e (layout thrash), and the mid block is ~5% of the
-    per-tile time anyway."""
+    stay fp.  The mid blocks were skipped while int8 programs still
+    contained the Pallas flash-attention custom call (int8 convs next
+    to it measured ~10x layout thrash); with the query-blocked exact
+    attention now the int8-program default there is no custom call, and
+    quantizing the mid convs measures a small consistent win
+    (tools/probe_mid_quant.py: encoder 304 -> 297 ms, decoder tile
+    704 -> 700 ms)."""
 
     def walk(node):
         if isinstance(node, dict):
