@@ -197,3 +197,40 @@ def test_temporal_sharded_decoder_matches_unsharded_8way():
     assert y1.shape[1] == 4 * 8 - 3  # interleave upsample: odd T out
     np.testing.assert_allclose(np.asarray(y1), np.asarray(y1_ref),
                                atol=3e-5, rtol=1e-4)
+
+
+@pytest.mark.slow
+def test_streaming_over_mesh_matches_single_device():
+    """The bounded-memory streaming pipeline composes with
+    VideoVAE.with_mesh: a spatially-sharded VAE streams a long clip to
+    (near-)bit-identical latents and frames vs the unsharded pipeline —
+    the multi-chip serving path (streaming host loop + SPMD nets)."""
+    from cvvae_tpu.models.vae_v1 import VAE1Config
+    from cvvae_tpu.models.video_vae import VideoVAE, VideoVAEConfig
+    from cvvae_tpu.streaming import streaming_decode, streaming_encode
+    cfg = VideoVAEConfig(
+        family="v1",
+        net=VAE1Config(ch=8, ch_mult=(1, 2, 4, 4), num_res_blocks=1,
+                       z_channels=4, norm_num_groups=4),
+        en_de_n_frames_a_time=8, tile_spatial_size=None)
+    vae = VideoVAE.from_config(cfg, seed=0)
+    svae = vae.with_mesh(make_mesh(8))
+
+    rs = np.random.RandomState(0)
+    frames_u8 = rs.randint(0, 255, (21, 64, 32, 3), np.uint8)
+
+    def run(v):
+        zs, outs = [], []
+        for z in streaming_encode(v, iter(frames_u8), dtype=jnp.float32):
+            zs.append(np.asarray(z))
+        for f in streaming_decode(
+                v, iter([jnp.asarray(z) for z in zs])):
+            outs.append(f)
+        return np.concatenate(zs, axis=1), np.concatenate(outs, axis=0)
+
+    z_ref, f_ref = run(vae)
+    z_mesh, f_mesh = run(svae)
+    np.testing.assert_allclose(z_mesh, z_ref, atol=2e-5, rtol=1e-4)
+    # frames are uint8 on the host wire: allow off-by-one from fp noise
+    assert np.max(np.abs(f_mesh.astype(np.int16)
+                         - f_ref.astype(np.int16))) <= 1
