@@ -34,13 +34,12 @@ Speed of light = deinterleave (~1x strided input read) + band reads
 encoder stem (4.0 GB out at ~304 GB/s) vs ~43 ms measured for the
 stacked lowering.
 
-Measured (tools/probe_stem_pallas.py, v5e, 2026-08-17): encoder stem
-34.6 -> 28.2 ms standalone (1.23x), and NO custom-call pathology inside
-an int8 conv program (45.1 vs 85.9 ms for the XLA stem in the same
-chain — the Pallas kernel also avoids the layout thrash the stacked
-lowering's strided views trigger next to int8 convs).  The Cin=4
-decoder latent stem measured neutral (9.1 vs 9.4 ms), so `stem_usable`
-accepts only the Cin=3 pixel stem.
+Measured (tools/probe_stem_pallas.py, v5e, 2026-08-17, nonlinear
+in-jit chains): encoder stem 34.3 -> 24.1 ms standalone (1.42x), int8
+coexistence NEUTRAL (86.7 vs 87.4 ms mixed program — no custom-call
+pathology in either direction).  The Cin=4 decoder latent stem
+measured neutral (8.7 vs 8.8 ms), so `stem_usable` accepts only the
+Cin=3 pixel stem.
 """
 
 from __future__ import annotations
@@ -55,7 +54,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 #: Trace-time switch, env-overridable for A/B runs (CVVAE_PALLAS_STEM=
 #: 0/1); `no_pallas_stem()` / `pallas_stem()` override in-process.
-#: Default OFF: despite winning in isolation (28.2 vs 34.6 ms) and
+#: Default OFF: despite winning in isolation (24.1 vs 34.3 ms) and
 #: showing no int8 custom-call pathology, the kernel measured a NET
 #: END-TO-END LOSS in the full serving program (bf16 7.00 -> 6.56 fps,
 #: int8 9.62 -> 9.33) — see PERF.md round-3 notes.

@@ -68,6 +68,11 @@ class VAEWorker:
         self._jax, self._jnp = jax, jnp
         self.vae = vae
         self.dtype = jax.tree.leaves(vae.params)[0].dtype
+        # device-side denormalise + uint8 cast: the wire (and the
+        # device->host copy) carries 1 B/px, not 4
+        self._to_u8 = jax.jit(lambda x: jnp.clip(
+            (x.astype(jnp.float32) + 1.0) * 127.5, 0, 255
+        ).astype(jnp.uint8))
         self._q: "queue.Queue" = queue.Queue(maxsize=max_queue)
         self._key = jax.random.PRNGKey(0)
         self.stats = {"encode": 0, "decode": 0, "reconstruct": 0,
@@ -88,11 +93,8 @@ class VAEWorker:
         return np.asarray(z.astype(jnp.float32))
 
     def _decode(self, z_np: np.ndarray):
-        jnp = self._jnp
-        z = jnp.asarray(z_np, self.dtype)
-        x = self.vae.decode(z)
-        u8 = jnp.clip((x[0].astype(jnp.float32) + 1.0) * 127.5, 0, 255)
-        return np.asarray(u8).astype(np.uint8)
+        z = self._jnp.asarray(z_np, self.dtype)
+        return np.asarray(self._to_u8(self.vae.decode(z)[0]))
 
     def _loop(self):
         while True:
@@ -132,9 +134,8 @@ class VAEWorker:
         return self._q.qsize()
 
 
-def truncate_to_4k1(n: int) -> int:
-    """The reference CLI's frame-count contract (4k+1 frames)."""
-    return n if n % 4 == 1 else n - (n - 1) % 4
+from cvvae_tpu.data.video_io import truncate_to_4k1  # noqa: E402  (one
+# contract, one implementation — re-exported for tests/callers)
 
 
 def _make_handler(worker: VAEWorker, started: float):
@@ -232,9 +233,12 @@ def main(argv=None):
     ap.add_argument("--height", type=int, default=720)
     ap.add_argument("--width", type=int, default=1280)
     ap.add_argument("--warm_frames", type=int, default=17,
-                    help="frame-window size compiled at warm-up")
+                    help="frame-window size compiled at warm-up "
+                         "(truncated to the 4k+1 contract, so warm-up "
+                         "compiles exactly the programs requests hit)")
     ap.add_argument("--max_queue", type=int, default=8)
     args = ap.parse_args(argv)
+    args.warm_frames = truncate_to_4k1(args.warm_frames)
 
     enable_compilation_cache()
     dtype = jnp.float32 if args.dtype == "fp32" else jnp.bfloat16

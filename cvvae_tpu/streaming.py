@@ -232,38 +232,56 @@ def reconstruct_video_streaming(vae: VideoVAE, in_path: str, out_path: str,
             state["writer"].write(cv2.cvtColor(f, cv2.COLOR_RGB2BGR))
         state["n_out"] += len(block)
 
-    if pipelined:
-        import queue
-        import threading
-        q: "queue.Queue" = queue.Queue(maxsize=4)
-        err = []
+    try:
+        if pipelined:
+            import queue
+            import threading
+            q: "queue.Queue" = queue.Queue(maxsize=4)
+            err = []
 
-        def writer_loop():
-            while True:
-                block = q.get()
-                if block is None:
-                    return
-                try:
-                    write_block(block)
-                except BaseException as e:     # surface in the main thread
-                    err.append(e)
-                    return
+            def writer_loop():
+                while True:
+                    block = q.get()
+                    if block is None:
+                        return
+                    try:
+                        write_block(block)
+                    except BaseException as e:  # surface in the main thread
+                        err.append(e)
+                        # keep draining so the producer's put() never
+                        # blocks on a full queue after the death
+                        while q.get() is not None:
+                            pass
+                        return
 
-        th = threading.Thread(target=writer_loop, daemon=True)
-        th.start()
-        try:
+            th = threading.Thread(target=writer_loop, daemon=True)
+            th.start()
+            try:
+                for block in blocks:
+                    if err:
+                        break
+                    # bounded wait: if the writer died between the err
+                    # check and a full queue, don't block forever
+                    while True:
+                        try:
+                            q.put(block, timeout=1.0)
+                            break
+                        except queue.Full:
+                            if err:
+                                break
+                    if err:
+                        break
+            finally:
+                q.put(None)
+                th.join()
+            if err:
+                raise err[0]
+        else:
             for block in blocks:
-                if err:
-                    break
-                q.put(block)
-        finally:
-            q.put(None)
-            th.join()
-        if err:
-            raise err[0]
-    else:
-        for block in blocks:
-            write_block(block)
-    if state["writer"] is not None:
-        state["writer"].release()
+                write_block(block)
+    finally:
+        # always finalise the container, also on a writer error —
+        # partial output stays playable and the handle is not leaked
+        if state["writer"] is not None:
+            state["writer"].release()
     return {"frames_out": state["n_out"], "fps": fps, "out_path": out_path}

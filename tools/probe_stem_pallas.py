@@ -43,11 +43,19 @@ def timed(name, fn, *args, iters=3, chain=3):
 
 
 def chain3(fn):
+    """Nonlinear 3x chain: each iteration rescales x by |prev sum|, so
+    XLA's algebraic simplifier cannot collapse the affine conv chain
+    into one call (the same guard as probe_dec_lowres.py /
+    probe_int8_blocks.py — a purely additive perturbation measured
+    impossible >300 TFLOP/s there)."""
     def run(x, *rest):
         acc = 0.0
-        for i in range(3):
-            y = fn(x + jnp.float32(i).astype(x.dtype) * 1e-6, *rest)
-            acc = acc + jnp.sum(y.astype(jnp.float32))
+        h = x
+        for _ in range(3):
+            y = fn(h, *rest)
+            s = jnp.sum(jnp.abs(y.astype(jnp.float32)))
+            acc = acc + s
+            h = x * (1.0 + 1e-12 * s).astype(x.dtype)
         return acc
     return run
 
