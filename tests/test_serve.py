@@ -119,3 +119,33 @@ def test_bad_requests(served):
     assert status == 400
     status, body = _post(port, "/nonsense", np.zeros((1,), np.uint8))
     assert status == 404
+
+
+def test_sd3_family_through_daemon():
+    """The daemon serves the SD3 (16-ch latent) family unchanged."""
+    from cvvae_tpu.models.vae_sd3 import VAESD3Config
+    cfg = VideoVAEConfig(
+        family="sd3",
+        net=VAESD3Config(block_out_channels=(8, 16, 16, 16),
+                         layers_per_block=1, latent_channels=16,
+                         norm_num_groups=4),
+        scaling_factor=1.5305,
+        en_de_n_frames_a_time=None, tile_spatial_size=None)
+    vae = VideoVAE.from_config(cfg, seed=0)
+    server = build_server(vae, port=0)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        port = server.server_address[1]
+        frames = np.random.RandomState(2).randint(
+            0, 255, (5, 32, 32, 3), np.uint8)
+        status, z_bytes = _post(port, "/encode", frames)
+        assert status == 200
+        z = np.load(io.BytesIO(z_bytes), allow_pickle=False)
+        assert z.shape == (1, 2, 4, 4, 16)
+        status, rec_bytes = _post(port, "/decode", z)
+        assert status == 200
+        rec = np.load(io.BytesIO(rec_bytes), allow_pickle=False)
+        assert rec.shape == (5, 32, 32, 3) and rec.dtype == np.uint8
+    finally:
+        server.shutdown()
