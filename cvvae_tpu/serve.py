@@ -237,6 +237,11 @@ def main(argv=None):
                          "(truncated to the 4k+1 contract, so warm-up "
                          "compiles exactly the programs requests hit)")
     ap.add_argument("--max_queue", type=int, default=8)
+    ap.add_argument("--calibration_video", default=None,
+                    help="int8 only: video whose frames calibrate the "
+                         "static activation scales (content statistics "
+                         "— strongly preferred over the synthetic "
+                         "fallback for serving quality)")
     args = ap.parse_args(argv)
     args.warm_frames = truncate_to_4k1(args.warm_frames)
 
@@ -256,9 +261,19 @@ def main(argv=None):
         vae.config, tile_spatial_size=tile, tile_overlap_ratio=ratio,
         encode_tile_spatial_size=enc_tile), vae.params)
     if args.dtype == "int8":
-        calib = np.random.default_rng(0).integers(
-            0, 255, (1, min(17, args.warm_frames),
-                     min(args.height, 256), min(args.width, 256), 3))
+        ch, cw = min(args.height, 256), min(args.width, 256)
+        if args.calibration_video:
+            from cvvae_tpu.data.video_io import read_video
+            frames, _ = read_video(args.calibration_video, height=ch,
+                                   width=cw, max_frames=17)
+            calib = np.asarray(frames)[None][
+                :, :truncate_to_4k1(len(frames))]
+        else:
+            print("[serve] WARNING: int8 without --calibration_video — "
+                  "activation scales come from synthetic noise; pass a "
+                  "representative clip for serving quality", flush=True)
+            calib = np.random.default_rng(0).integers(
+                0, 255, (1, min(17, args.warm_frames), ch, cw, 3))
         vae = vae.quantize(
             calibration=(calib.astype(np.float32) / 127.5 - 1.0))
 
@@ -272,7 +287,21 @@ def main(argv=None):
     server.worker.submit("reconstruct", warm, False, timeout=3600.0)
     print(f"[serve] warm in {time.perf_counter() - t0:.1f}s; "
           f"listening on {args.host}:{args.port}", flush=True)
+
+    # graceful drain on SIGTERM/SIGINT: stop accepting, let the queued
+    # requests finish (shutdown() blocks until the serve loop exits and
+    # in-flight handlers complete their worker waits)
+    import signal
+
+    def _stop(signum, frame):
+        print(f"[serve] signal {signum}: draining and shutting down",
+              flush=True)
+        threading.Thread(target=server.shutdown, daemon=True).start()
+
+    signal.signal(signal.SIGTERM, _stop)
+    signal.signal(signal.SIGINT, _stop)
     server.serve_forever()
+    print("[serve] stopped", flush=True)
 
 
 if __name__ == "__main__":
