@@ -215,6 +215,41 @@ def build_server(vae, port: int = 8400, host: str = "127.0.0.1",
     return server
 
 
+def _quantized(vae, args):
+    """int8 path: restore calibrated params from --quantized_cache when
+    present, else run the calibration pass (and persist it for the next
+    restart — the eager calibration is the slowest startup stage)."""
+    import os
+
+    cache = args.quantized_cache and os.path.abspath(args.quantized_cache)
+    if cache and os.path.isdir(cache):
+        import orbax.checkpoint as ocp
+        t0 = time.perf_counter()
+        params = ocp.PyTreeCheckpointer().restore(cache)
+        print(f"[serve] restored quantized params from {cache} "
+              f"in {time.perf_counter() - t0:.1f}s", flush=True)
+        return type(vae)(vae.config, params)
+
+    ch, cw = min(args.height, 256), min(args.width, 256)
+    if args.calibration_video:
+        from cvvae_tpu.data.video_io import read_video
+        frames, _ = read_video(args.calibration_video, height=ch,
+                               width=cw, max_frames=17)
+        calib = np.asarray(frames)[None][:, :truncate_to_4k1(len(frames))]
+    else:
+        print("[serve] WARNING: int8 without --calibration_video — "
+              "activation scales come from synthetic noise; pass a "
+              "representative clip for serving quality", flush=True)
+        calib = np.random.default_rng(0).integers(
+            0, 255, (1, min(17, args.warm_frames), ch, cw, 3))
+    vae = vae.quantize(calibration=(calib.astype(np.float32) / 127.5 - 1.0))
+    if cache:
+        import orbax.checkpoint as ocp
+        ocp.PyTreeCheckpointer().save(cache, vae.params)
+        print(f"[serve] wrote quantized params to {cache}", flush=True)
+    return vae
+
+
 def main(argv=None):
     import jax.numpy as jnp
 
@@ -242,6 +277,12 @@ def main(argv=None):
                          "static activation scales (content statistics "
                          "— strongly preferred over the synthetic "
                          "fallback for serving quality)")
+    ap.add_argument("--quantized_cache", default=None,
+                    help="int8 only: directory for the calibrated "
+                         "quantized params (orbax).  Present -> restored "
+                         "(startup skips the eager calibration pass, the "
+                         "slowest startup stage); absent -> written "
+                         "after calibration for the next restart")
     args = ap.parse_args(argv)
     args.warm_frames = truncate_to_4k1(args.warm_frames)
 
@@ -261,21 +302,7 @@ def main(argv=None):
         vae.config, tile_spatial_size=tile, tile_overlap_ratio=ratio,
         encode_tile_spatial_size=enc_tile), vae.params)
     if args.dtype == "int8":
-        ch, cw = min(args.height, 256), min(args.width, 256)
-        if args.calibration_video:
-            from cvvae_tpu.data.video_io import read_video
-            frames, _ = read_video(args.calibration_video, height=ch,
-                                   width=cw, max_frames=17)
-            calib = np.asarray(frames)[None][
-                :, :truncate_to_4k1(len(frames))]
-        else:
-            print("[serve] WARNING: int8 without --calibration_video — "
-                  "activation scales come from synthetic noise; pass a "
-                  "representative clip for serving quality", flush=True)
-            calib = np.random.default_rng(0).integers(
-                0, 255, (1, min(17, args.warm_frames), ch, cw, 3))
-        vae = vae.quantize(
-            calibration=(calib.astype(np.float32) / 127.5 - 1.0))
+        vae = _quantized(vae, args)
 
     print(f"[serve] warming {args.height}x{args.width} x"
           f"{args.warm_frames}f {args.dtype} programs ...", flush=True)

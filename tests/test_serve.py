@@ -149,3 +149,44 @@ def test_sd3_family_through_daemon():
         assert rec.shape == (5, 32, 32, 3) and rec.dtype == np.uint8
     finally:
         server.shutdown()
+
+
+def test_quantized_cache_roundtrip(tmp_path):
+    """--quantized_cache: calibrated params save/restore bit-exactly
+    (int8 kernels, scales, bf16 remainder) through orbax.
+
+    ch=16 so the top level reaches 64 channels and convs actually
+    quantize (min_cin=64) — the cache must round-trip real int8 leaves,
+    not just the fp remainder."""
+    import argparse
+    import jax
+    import jax.numpy as jnp
+
+    from cvvae_tpu.serve import _quantized
+    cfg = VideoVAEConfig(
+        family="v1",
+        net=VAE1Config(ch=16, ch_mult=(1, 2, 4, 4), num_res_blocks=1,
+                       z_channels=4, norm_num_groups=4),
+        en_de_n_frames_a_time=None, tile_spatial_size=None)
+    vae = VideoVAE.from_config(cfg, seed=0, dtype=jnp.bfloat16)
+    args = argparse.Namespace(
+        quantized_cache=str(tmp_path / "qcache"), calibration_video=None,
+        height=32, width=32, warm_frames=5)
+    q1 = _quantized(vae, args)          # calibrates + writes the cache
+    q2 = _quantized(vae, args)          # restores from the cache
+    assert any(np.asarray(v).dtype == np.int8
+               for v in jax.tree_util.tree_leaves(q1.params))
+    l1 = jax.tree_util.tree_leaves_with_path(q1.params)
+    l2 = {jax.tree_util.keystr(k): v
+          for k, v in jax.tree_util.tree_leaves_with_path(q2.params)}
+    assert len(l1) == len(l2)
+    for k, v in l1:
+        r = l2[jax.tree_util.keystr(k)]
+        assert np.asarray(v).dtype == np.asarray(r).dtype
+        np.testing.assert_array_equal(np.asarray(v), np.asarray(r))
+
+    x = np.random.RandomState(3).randint(0, 255, (5, 32, 32, 3), np.uint8)
+    xj = jnp.asarray(x)[None].astype(jnp.float32) / 127.5 - 1.0
+    np.testing.assert_array_equal(
+        np.asarray(q1.decode(q1.encode(xj).mode())),
+        np.asarray(q2.decode(q2.encode(xj).mode())))
