@@ -97,7 +97,7 @@ def stem_usable(x: jax.Array, kernel: jax.Array, spec) -> bool:
     if (kt, kh, kw) != (3, 3, 3) or spec.stride != (1, 1, 1):
         return False
     # Cin=3 pixel stem only: the Cin=4 latent stem measured neutral
-    # (9.1 vs 9.4 ms) and smaller shapes don't amortise the grid
+    # (8.7 vs 8.8 ms) and smaller shapes don't amortise the grid
     if kernel.shape[3] != 3 or x.shape[0] != 1:
         return False
     # W-axis edge padding would break the zero-pad fold; zero is fine

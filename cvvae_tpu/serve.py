@@ -62,12 +62,21 @@ def _npy_load(data: bytes) -> np.ndarray:
 class VAEWorker:
     """Owns the device model; executes requests strictly in order."""
 
-    def __init__(self, vae, *, max_queue: int = 8):
+    def __init__(self, vae, *, max_queue: int = 8, act_dtype=None):
         import jax
         import jax.numpy as jnp
         self._jax, self._jnp = jax, jnp
         self.vae = vae
-        self.dtype = jax.tree.leaves(vae.params)[0].dtype
+        # activation dtype: explicit (main() knows it as --dtype) or
+        # inferred from the params' floating leaves — never from leaf #0,
+        # whose dtype on a quantized tree (int8 kernels, fp32 scales,
+        # bf16 biases) depends on tree ordering
+        if act_dtype is None:
+            leaf_dtypes = {a.dtype for a in jax.tree.leaves(vae.params)
+                           if jnp.issubdtype(a.dtype, jnp.floating)}
+            act_dtype = (jnp.bfloat16 if jnp.bfloat16 in leaf_dtypes
+                         else jnp.float32)
+        self.dtype = act_dtype
         # device-side denormalise + uint8 cast: the wire (and the
         # device->host copy) carries 1 B/px, not 4
         self._to_u8 = jax.jit(lambda x: jnp.clip(
@@ -138,7 +147,8 @@ from cvvae_tpu.data.video_io import truncate_to_4k1  # noqa: E402  (one
 # contract, one implementation — re-exported for tests/callers)
 
 
-def _make_handler(worker: VAEWorker, started: float):
+def _make_handler(worker: VAEWorker, started: float,
+                  max_body_bytes: int = 512 * 1024 * 1024):
     class Handler(BaseHTTPRequestHandler):
         # one worker; ThreadingHTTPServer only parallelises socket IO
         protocol_version = "HTTP/1.1"
@@ -181,6 +191,12 @@ def _make_handler(worker: VAEWorker, started: float):
                 return self._send_json(404, {"error": "unknown path"})
             try:
                 n = int(self.headers.get("Content-Length", 0))
+                if n > max_body_bytes:
+                    # reject before reading: an oversized body must not
+                    # be buffered into host memory at all
+                    return self._send_json(413, {
+                        "error": f"body {n} B exceeds cap "
+                                 f"{max_body_bytes} B"})
                 arr = _npy_load(self.rfile.read(n))
                 if kind in ("encode", "reconstruct"):
                     if arr.ndim != 4 or arr.shape[-1] != 3 \
@@ -204,13 +220,27 @@ def _make_handler(worker: VAEWorker, started: float):
     return Handler
 
 
+class DrainingHTTPServer(ThreadingHTTPServer):
+    """ThreadingHTTPServer whose shutdown actually drains.
+
+    ThreadingHTTPServer defaults to daemon handler threads, so once
+    ``shutdown()`` unblocks ``serve_forever()`` the process can exit
+    mid-request.  Non-daemon threads + ``block_on_close`` (the mixin
+    default) make ``server_close()`` join every in-flight handler — and
+    each handler blocks on its VAEWorker result, so the worker queue is
+    empty by the time ``server_close()`` returns."""
+    daemon_threads = False
+
+
 def build_server(vae, port: int = 8400, host: str = "127.0.0.1",
-                 max_queue: int = 8) -> ThreadingHTTPServer:
+                 max_queue: int = 8, act_dtype=None,
+                 max_body_bytes: int = 512 * 1024 * 1024
+                 ) -> ThreadingHTTPServer:
     """Wrap a ready VideoVAE in the HTTP boundary (tests use this
     directly with a tiny config; __main__ adds model build + warm-up)."""
-    worker = VAEWorker(vae, max_queue=max_queue)
-    server = ThreadingHTTPServer((host, port), _make_handler(
-        worker, time.time()))
+    worker = VAEWorker(vae, max_queue=max_queue, act_dtype=act_dtype)
+    server = DrainingHTTPServer((host, port), _make_handler(
+        worker, time.time(), max_body_bytes))
     server.worker = worker
     return server
 
@@ -272,6 +302,9 @@ def main(argv=None):
                          "(truncated to the 4k+1 contract, so warm-up "
                          "compiles exactly the programs requests hit)")
     ap.add_argument("--max_queue", type=int, default=8)
+    ap.add_argument("--max_body_mb", type=int, default=512,
+                    help="reject request bodies larger than this with "
+                         "HTTP 413 before reading them into memory")
     ap.add_argument("--calibration_video", default=None,
                     help="int8 only: video whose frames calibrate the "
                          "static activation scales (content statistics "
@@ -307,7 +340,8 @@ def main(argv=None):
     print(f"[serve] warming {args.height}x{args.width} x"
           f"{args.warm_frames}f {args.dtype} programs ...", flush=True)
     server = build_server(vae, port=args.port, host=args.host,
-                          max_queue=args.max_queue)
+                          max_queue=args.max_queue, act_dtype=dtype,
+                          max_body_bytes=args.max_body_mb * 1024 * 1024)
     warm = np.zeros((args.warm_frames, args.height, args.width, 3),
                     np.uint8)
     t0 = time.perf_counter()
@@ -315,9 +349,11 @@ def main(argv=None):
     print(f"[serve] warm in {time.perf_counter() - t0:.1f}s; "
           f"listening on {args.host}:{args.port}", flush=True)
 
-    # graceful drain on SIGTERM/SIGINT: stop accepting, let the queued
-    # requests finish (shutdown() blocks until the serve loop exits and
-    # in-flight handlers complete their worker waits)
+    # graceful drain on SIGTERM/SIGINT: stop accepting new connections
+    # (shutdown() exits the accept loop), then server_close() joins the
+    # non-daemon handler threads (DrainingHTTPServer) — each of which is
+    # blocked on its VAEWorker result — so every accepted request
+    # completes before the process exits
     import signal
 
     def _stop(signum, frame):
@@ -328,6 +364,7 @@ def main(argv=None):
     signal.signal(signal.SIGTERM, _stop)
     signal.signal(signal.SIGINT, _stop)
     server.serve_forever()
+    server.server_close()
     print("[serve] stopped", flush=True)
 
 
