@@ -167,6 +167,31 @@ def dict_collate(samples: List[Dict]) -> Dict[str, np.ndarray]:
     return out
 
 
+def dict_collate_concat(samples: List[Dict], *,
+                        concat_keys: Sequence[str] = (),
+                        rank0_keys: Sequence[str] = ()) -> Dict:
+    """Concat-capable collation (dict_collation_fn_with_concat,
+    datapipe_utils.py:145-183): batch keys are the INTERSECTION of the
+    samples' keys; array keys in ``concat_keys`` concatenate on axis 0
+    (variable leading extents, e.g. pre-batched clips) instead of
+    stacking; scalar keys in ``rank0_keys`` keep only the first sample's
+    value."""
+    keys = set(samples[0])
+    for s in samples[1:]:
+        keys &= set(s)
+    out: Dict = {}
+    for key in keys:
+        vals = [s[key] for s in samples]
+        if isinstance(vals[0], np.ndarray):
+            out[key] = (np.concatenate(vals, axis=0) if key in concat_keys
+                        else np.stack(vals))
+        elif isinstance(vals[0], (int, float, np.number)):
+            out[key] = vals[0] if key in rank0_keys else np.asarray(vals)
+        else:
+            out[key] = vals
+    return out
+
+
 def batcher(it: Iterable, batch_size: int,
             collate: Callable = dict_collate) -> Iterator:
     buf = []
@@ -195,22 +220,27 @@ def mapped(it: Iterable, fn: Callable, *,
 
 def parallel_mapped(it: Iterable, fn: Callable, *, num_workers: int = 4,
                     prefetch: Optional[int] = None,
+                    use_processes: bool = False,
                     handler: Callable[[Exception], bool] = warn_and_continue
                     ) -> Iterator:
-    """``mapped`` with a thread pool: the reference runs 4 DataLoader
+    """``mapped`` with a worker pool: the reference runs 4 DataLoader
     worker *processes* per rank (datapipe_utils.py:365-367); here the
-    decode work (cv2/PIL/numpy) releases the GIL, so a thread pool gives
-    the same parallelism without pickling or fork overhead.  Results are
-    yielded in input order; per-sample failures warn-and-continue.
+    usual decode work (cv2/PIL/numpy) releases the GIL, so a thread pool
+    gives the same parallelism without pickling or fork overhead.  For
+    decoders that do NOT release the GIL (pure-Python parsing, some
+    codec wrappers), ``use_processes=True`` switches to a process pool —
+    ``fn`` and the samples must then be picklable.  Results are yielded
+    in input order; per-sample failures warn-and-continue.
     ``prefetch`` bounds the in-flight window (default 2x workers)."""
     if num_workers <= 1:
         yield from mapped(it, fn, handler=handler)
         return
     from collections import deque
-    from concurrent.futures import ThreadPoolExecutor
+    from concurrent.futures import ProcessPoolExecutor, ThreadPoolExecutor
 
+    pool_cls = ProcessPoolExecutor if use_processes else ThreadPoolExecutor
     window = prefetch or 2 * num_workers
-    with ThreadPoolExecutor(num_workers) as ex:
+    with pool_cls(num_workers) as ex:
         futures: deque = deque()
         src = iter(it)
         exhausted = False
@@ -314,12 +344,15 @@ def build_webdataset_pipeline(*, urls_or_dir, file_mask: str = "*.tar",
                               batch_size: int = 1, seed: int = 0,
                               shard_id: int = 0, num_shards: int = 1,
                               num_workers: int = 4, prefetch: int = 2,
+                              decode_processes: bool = False,
                               handler=warn_and_continue) -> Iterator:
     """tar branch of create_single_dataset (datapipe_utils.py:186-285).
 
     ``num_workers`` parallelises the decode (the reference's
-    num_workers=4 DataLoader semantics); ``prefetch`` batches are built
-    ahead in a background thread."""
+    num_workers=4 DataLoader semantics); ``decode_processes`` runs the
+    decoder in worker processes for GIL-holding decoders (the decoder
+    must be picklable); ``prefetch`` batches are built ahead in a
+    background thread."""
     files = list_files(urls_or_dir, file_mask)
     it = cycle(files, repeat)
     if shardshuffle:
@@ -328,6 +361,7 @@ def build_webdataset_pipeline(*, urls_or_dir, file_mask: str = "*.tar",
     it = tar_sample_reader(it, handler)
     if decoder is not None:
         it = parallel_mapped(it, decoder, num_workers=num_workers,
+                             use_processes=decode_processes,
                              handler=handler)
     if sample_shuffle:
         it = buffered_shuffle(it, sample_shuffle, seed + 1)
@@ -347,6 +381,7 @@ def build_metadata_pipeline(*, urls_or_dir, file_mask: str = "*.csv",
                             batch_size: int = 1, seed: int = 0,
                             shard_id: int = 0, num_shards: int = 1,
                             num_workers: int = 4, prefetch: int = 2,
+                            decode_processes: bool = False,
                             handler=warn_and_continue) -> Iterator:
     """csv/jsonl branch of create_single_dataset."""
     files = list_files(urls_or_dir, file_mask)
@@ -357,6 +392,7 @@ def build_metadata_pipeline(*, urls_or_dir, file_mask: str = "*.csv",
         it = buffered_shuffle(it, sample_shuffle, seed)
     if decoder is not None:
         it = parallel_mapped(it, decoder, num_workers=num_workers,
+                             use_processes=decode_processes,
                              handler=handler)
     if select_keys:
         it = selected(it, select_keys)

@@ -184,3 +184,51 @@ def test_webdataset_pipeline_parallel_decode(wds_dir):
     batches = list(it)
     assert len(batches) == 4  # 8 samples / bs 2
     assert all(b["frames"].shape == (2, 1, 32, 32, 3) for b in batches)
+
+
+def test_dict_collate_concat():
+    """dict_collation_fn_with_concat semantics (datapipe_utils.py:145-183):
+    key intersection, concat_keys concatenated on axis 0, rank0_keys
+    scalar-reduced to the first sample's value."""
+    samples = [
+        {"frames": np.zeros((2, 4, 4, 3)), "fps": 24, "id": "a",
+         "extra": 1.0},
+        {"frames": np.ones((3, 4, 4, 3)), "fps": 30, "id": "b"},
+    ]
+    out = pl.dict_collate_concat(samples, concat_keys=("frames",),
+                                 rank0_keys=("fps",))
+    assert "extra" not in out                     # intersection of keys
+    assert out["frames"].shape == (5, 4, 4, 3)    # concatenated, not stacked
+    assert out["fps"] == 24                       # rank-0 scalar
+    assert out["id"] == ["a", "b"]                # passthrough list
+    # without concat_keys, equal-shaped arrays stack
+    sam2 = [{"frames": np.zeros((2, 4, 4, 3))},
+            {"frames": np.ones((2, 4, 4, 3))}]
+    assert pl.dict_collate_concat(sam2)["frames"].shape == (2, 2, 4, 4, 3)
+
+
+def _square_sample(s):  # module-level: must be picklable for processes
+    return {"v": s["v"] * s["v"]}
+
+
+def test_parallel_mapped_processes():
+    """use_processes=True runs the map in worker processes (for decoders
+    that hold the GIL), preserving order."""
+    items = [{"v": i} for i in range(12)]
+    out = list(pl.parallel_mapped(iter(items), _square_sample,
+                                  num_workers=2, use_processes=True))
+    assert [o["v"] for o in out] == [i * i for i in range(12)]
+
+
+def test_metadata_pipeline_process_decode(video_csv_dir):
+    """decode_processes=True drives the full metadata pipeline through a
+    process pool."""
+    it = pl.build_metadata_pipeline(
+        urls_or_dir=video_csv_dir, repeat=1, decoder=_csv_passthrough,
+        batch_size=1, num_workers=2, decode_processes=True)
+    rows = list(it)
+    assert rows and all("path" in r for r in rows)
+
+
+def _csv_passthrough(row):  # picklable decoder for the process pool
+    return dict(row)
