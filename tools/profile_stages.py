@@ -70,12 +70,12 @@ def time_prefixes(named_stages, x0, iters):
 
 def encoder_stages(params, cfg):
     from cvvae_tpu.models import vae_v1 as m
-    from cvvae_tpu.ops.conv import conv3d
+    from cvvae_tpu.ops import conv as _conv_mod
     from cvvae_tpu.ops.norm import group_norm
     from cvvae_tpu.ops.activations import silu
 
     causal = cfg.causal_encoder
-    stages = [("conv_in", lambda h: conv3d(
+    stages = [("conv_in", lambda h: _conv_mod.conv3d(
         h, params["conv_in"], cfg.conv_spec(causal)))]
 
     def level(i):
@@ -102,7 +102,7 @@ def encoder_stages(params, cfg):
     def out(h):
         h = group_norm(h, params["norm_out"], num_groups=cfg.norm_num_groups,
                        eps=m.NORM_EPS)
-        return conv3d(silu(h), params["conv_out"], cfg.conv_spec(causal))
+        return _conv_mod.conv3d(silu(h), params["conv_out"], cfg.conv_spec(causal))
 
     stages += [("enc_mid", mid), ("enc_out", out)]
     return stages
@@ -110,12 +110,12 @@ def encoder_stages(params, cfg):
 
 def decoder_stages(params, cfg):
     from cvvae_tpu.models import vae_v1 as m
-    from cvvae_tpu.ops.conv import conv3d
+    from cvvae_tpu.ops import conv as _conv_mod
     from cvvae_tpu.ops.norm import group_norm
     from cvvae_tpu.ops.activations import silu
 
     causal = cfg.causal_decoder
-    stages = [("conv_in", lambda h: conv3d(
+    stages = [("conv_in", lambda h: _conv_mod.conv3d(
         h, params["conv_in"], cfg.conv_spec(causal)))]
 
     def mid(h):
@@ -149,7 +149,7 @@ def decoder_stages(params, cfg):
     def out(h):
         h = group_norm(h, params["norm_out"], num_groups=cfg.norm_num_groups,
                        eps=m.NORM_EPS)
-        return conv3d(silu(h), params["conv_out"], cfg.conv_spec(causal))
+        return _conv_mod.conv3d(silu(h), params["conv_out"], cfg.conv_spec(causal))
 
     stages.append(("dec_out", out))
     return stages
