@@ -268,3 +268,97 @@ def load_unet_checkpoint(path: str, dtype=jnp.float32):
             for key in f.keys():
                 state[key] = f.get_tensor(key)
     return convert_unet_state_dict(state, dtype=dtype), cfg
+
+
+# ---------------------------------------------------------------------------
+# CLIPTextModel (the latent-compat prompt encoder)
+# ---------------------------------------------------------------------------
+
+_CLIP_LAYER_RE = re.compile(r"^text_model\.encoder\.layers\.(\d+)\.(.+)$")
+
+_CLIP_ATTN = {"self_attn.q_proj": "q", "self_attn.k_proj": "k",
+              "self_attn.v_proj": "v", "self_attn.out_proj": "out"}
+
+
+def convert_clip_text_state_dict(state_dict: Dict[str, np.ndarray],
+                                 dtype=jnp.float32) -> dict:
+    """Convert a transformers ``CLIPTextModel`` state dict into a
+    cvvae_tpu.models.clip_text params tree.
+
+    Names are the real transformers names (pinned full-size in
+    tests/data/clip_sd21_keys.json); Linear weights transpose to (I, O)
+    dense kernels, LayerNorms become scale/bias, embeddings keep their
+    (V, H)/(P, H) tables.  ``position_ids`` buffers and the projection
+    head of ``CLIPTextModelWithProjection`` are skipped.
+    """
+    tree: dict = {"layers": {}}
+    for key, value in state_dict.items():
+        if hasattr(value, "detach"):
+            value = value.detach().cpu().numpy()
+        value = np.asarray(value)
+        if key.endswith("position_ids") or key == "text_projection.weight":
+            continue
+        if key == "text_model.embeddings.token_embedding.weight":
+            tree["token_embedding"] = jnp.asarray(value, dtype)
+            continue
+        if key == "text_model.embeddings.position_embedding.weight":
+            tree["position_embedding"] = jnp.asarray(value, dtype)
+            continue
+        if key.startswith("text_model.final_layer_norm."):
+            leaf = "scale" if key.endswith("weight") else "bias"
+            tree.setdefault("final_ln", {})[leaf] = jnp.asarray(value, dtype)
+            continue
+        m = _CLIP_LAYER_RE.match(key)
+        if m is None:
+            raise KeyError(f"unrecognised CLIP text key: {key}")
+        idx, rest = int(m.group(1)), m.group(2)
+        mod, leaf = rest.rsplit(".", 1)
+        layer = tree["layers"].setdefault(idx, {})
+        if mod in _CLIP_ATTN:
+            dest = layer.setdefault("attn", {}).setdefault(_CLIP_ATTN[mod], {})
+        elif mod in ("layer_norm1", "layer_norm2"):
+            dest = layer.setdefault("ln" + mod[-1], {})
+            leaf = "scale" if leaf == "weight" else "bias"
+        elif mod in ("mlp.fc1", "mlp.fc2"):
+            dest = layer.setdefault(mod.split(".")[1], {})
+        else:
+            raise KeyError(f"unrecognised CLIP text key: {key}")
+        if leaf == "weight":
+            dest["kernel"] = jnp.asarray(
+                np.ascontiguousarray(value.T), dtype)
+        else:
+            dest[leaf] = jnp.asarray(value, dtype)
+    return _listify(tree)
+
+
+def load_clip_text_checkpoint(path: str, dtype=jnp.float32):
+    """Load a transformers CLIPTextModel checkpoint dir (config.json +
+    safetensors / pytorch_model.bin) -> (params, CLIPTextConfig)."""
+    from cvvae_tpu.models.clip_text import CLIPTextConfig
+
+    with open(os.path.join(path, "config.json")) as f:
+        cfg_json = json.load(f)
+    cfg = CLIPTextConfig(
+        vocab_size=cfg_json.get("vocab_size", 49408),
+        hidden_size=cfg_json.get("hidden_size", 1024),
+        intermediate_size=cfg_json.get("intermediate_size", 4096),
+        num_hidden_layers=cfg_json.get("num_hidden_layers", 23),
+        num_attention_heads=cfg_json.get("num_attention_heads", 16),
+        max_position_embeddings=cfg_json.get("max_position_embeddings", 77),
+        hidden_act=cfg_json.get("hidden_act", "gelu"),
+        layer_norm_eps=cfg_json.get("layer_norm_eps", 1e-5))
+    files = sorted(f for f in os.listdir(path) if f.endswith(".safetensors"))
+    state: Dict[str, np.ndarray] = {}
+    if files:
+        from safetensors import safe_open
+        for fname in files:
+            with safe_open(os.path.join(path, fname),
+                           framework="numpy") as f:
+                for key in f.keys():
+                    state[key] = f.get_tensor(key)
+    else:
+        import torch
+        blob = torch.load(os.path.join(path, "pytorch_model.bin"),
+                          map_location="cpu", weights_only=True)
+        state = {k: v.numpy() for k, v in blob.items()}
+    return convert_clip_text_state_dict(state, dtype=dtype), cfg

@@ -16,9 +16,11 @@ Usage:
       [--out out.png]
 
 Without --text_encoder_path the context is a fixed random embedding
-(structure demo); with it, transformers' CLIPTextModel encodes the
-prompt exactly as the reference pipeline does
-(pipeline_stable_diffusion.py:302-427).
+(structure demo); with it, the prompt is tokenized by transformers'
+CLIPTokenizer (pure Python) and encoded by the in-framework JAX CLIP
+text model (models/clip_text.py + utils/convert.py) — the whole
+prompted flow runs as JAX programs, matching the reference pipeline
+(pipeline_stable_diffusion.py:302-427) without torch at sample time.
 """
 
 import argparse
@@ -63,17 +65,25 @@ def main():
                                      dtype=jnp.bfloat16)
 
     if args.text_encoder_path:
-        import torch
-        from transformers import CLIPTextModel, CLIPTokenizer
+        # tokenize with transformers' CLIPTokenizer (pure Python), encode
+        # with the in-framework JAX CLIP (models/clip_text.py) - no torch
+        # at sample time; the reference flow is
+        # pipeline_stable_diffusion.py:302-427
+        from transformers import CLIPTokenizer
+
+        from cvvae_tpu.models.clip_text import make_text_embedder
+        from cvvae_tpu.utils.convert import load_clip_text_checkpoint
         tok = CLIPTokenizer.from_pretrained(
             args.tokenizer_path or args.text_encoder_path)
-        te = CLIPTextModel.from_pretrained(args.text_encoder_path).eval()
+        te_params, te_cfg = load_clip_text_checkpoint(
+            args.text_encoder_path, dtype=jnp.bfloat16)
+        embedder = make_text_embedder(te_params, te_cfg)
 
         def embed(text):
-            ids = tok(text, padding="max_length", max_length=77,
-                      truncation=True, return_tensors="pt").input_ids
-            with torch.no_grad():
-                return jnp.asarray(te(ids).last_hidden_state.numpy())
+            ids = tok(text, padding="max_length",
+                      max_length=te_cfg.max_position_embeddings,
+                      truncation=True, return_tensors="np").input_ids
+            return embedder(jnp.asarray(ids, jnp.int32)).astype(jnp.float32)
 
         cond, uncond = embed(args.prompt), embed(args.negative_prompt)
     else:
