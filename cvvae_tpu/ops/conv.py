@@ -197,6 +197,12 @@ def conv3d(x: jax.Array, params: dict, spec: Conv3DSpec, *,
             and spec.modes[2] == "zero" and (spec.pads[0][0] or spec.pads[0][1])
             and x.shape[1] > 1):
         y = _conv3d_edge_time_fast(x, kernel, spec, precision)
+    elif EDGE_FAST_SPACE and any(m == "edge" and (p[0] or p[1])
+                                 for m, p in zip(spec.modes, spec.pads)):
+        # zero-window conv + thin-slab boundary fixes: measured SLOWER
+        # in-chain than the materialised pad on this chip (PERF.md
+        # round 4) — gated infrastructure, default OFF
+        y = _conv3d_edge_fast(x, kernel, spec, precision)
     else:
         x = _edge_pad(x, spec.pads, spec.modes)
         lax_padding = [
@@ -339,6 +345,14 @@ def _conv3d_small_cin(x: jax.Array, kernel: jax.Array, spec: Conv3DSpec,
     return jnp.einsum("bthwk,ko->bthwo", z, wmat, precision=precision)
 
 
+import os as _os
+
+#: Trace-time switch for the space-axis edge-fast decomposition below —
+#: measured SLOWER in-chain than the materialised pad on this chip
+#: (PERF.md round 4), kept for A/B runs on other hardware.
+EDGE_FAST_SPACE = _os.environ.get("CVVAE_EDGE_FAST", "0") == "1"
+
+
 def _conv3d_edge_time_fast(x: jax.Array, kernel: jax.Array, spec: Conv3DSpec,
                            precision) -> jax.Array:
     """Edge ("replicate") time padding without copying the whole tensor.
@@ -349,7 +363,9 @@ def _conv3d_edge_time_fast(x: jax.Array, kernel: jax.Array, spec: Conv3DSpec,
     taps all read the first (or last) frame, so the correction is a tiny
     per-frame 2D conv of x[:, :1] / x[:, -1:] with the summed kernel
     taps, padded-and-added into y (fuses into the conv epilogue).  This
-    removes a full-tensor HBM round trip per causal conv.
+    removes a full-tensor HBM round trip per causal conv.  (The same
+    trick on the SPACE axes — `_conv3d_edge_fast` — measured slower
+    in-chain than the pad it avoids; see PERF.md round 4.)
     """
     lo, hi = spec.pads[0]
     st = spec.stride[0]
@@ -393,4 +409,140 @@ def _conv3d_edge_time_fast(x: jax.Array, kernel: jax.Array, spec: Conv3DSpec,
         fix = jnp.concatenate(hi_fixes, axis=1)
         y = y + jnp.pad(fix, ((0, 0), (t_out - fix.shape[1], 0),
                               (0, 0), (0, 0), (0, 0)))
+    return y
+
+
+def _conv3d_edge_fast(x: jax.Array, kernel: jax.Array, spec: Conv3DSpec,
+                      precision,
+                      raw_conv=None) -> jax.Array:
+    """Edge ("replicate") padding on ANY axes without copying the tensor.
+
+    **Measured negative on v5e** (kept OFF; enable for A/B via
+    CVVAE_EDGE_FAST=1): at the SD3 decoder's (17,720,672,128) resblock
+    chain this decomposition runs 696 ms vs 356 ms for the materialised
+    pad in bf16, 345 vs 225 in int8 — XLA overlaps the pad copy with
+    neighbouring work far better than it schedules the zero-window conv
+    plus fix composition.  Bit-parity is pinned in
+    tests/test_edge_fast_conv.py; the time-axis-only special case
+    (`_conv3d_edge_time_fast` above) IS the shipping path for causal
+    convs, where it has been a measured win since round 2.
+
+    Replicate-padding an axis then convolving equals zero-padding (free —
+    folded into the conv's window config) plus a boundary fix: for the
+    few output slices whose window reaches past the input, the missing
+    taps all read the first (or last) slice, so the correction is a
+    thin-slab conv of x[.., :1, ..] / x[.., -1:, ..] with the missing
+    kernel taps summed along that axis, padded-and-added into y (the
+    adds fuse into the conv epilogue).  This removes a full-tensor HBM
+    round trip per conv — the v1 causal convs pay it on T only; the SD3
+    nets replicate-pad space AND time on every 3D conv
+    (models/vae_blocks3d_sd3.py:16-104), where the materialised pad was
+    ~15% of the big decoder stages' time.
+
+    Multi-axis correctness (inclusion-exclusion): axes are fixed in
+    order T, H, W.  Each axis' slab conv uses ZERO window pads on
+    earlier-fixed axes (their out-of-range terms are already counted)
+    and MATERIALISED edge pads on later edge axes (the slab is thin, so
+    the copy is negligible) — every tap-term whose reads run off the
+    tensor is counted exactly once, by the first out-of-range axis.
+
+    ``raw_conv(x, kernel, window_pads, strides)`` abstracts the core
+    conv so the int8 path can reuse the same decomposition.
+    """
+    if raw_conv is None:
+        def raw_conv(v, k, pads, strides):
+            return lax.conv_general_dilated(
+                v, k, window_strides=strides, padding=pads,
+                dimension_numbers=_DIMENSION_NUMBERS, precision=precision)
+
+    window_pads = [tuple(p) for p in spec.pads]
+    y = raw_conv(x, kernel, window_pads, spec.stride)
+
+    edge_axes = [a for a in range(3) if spec.modes[a] == "edge"
+                 and (spec.pads[a][0] or spec.pads[a][1])]
+    for pos, axis in enumerate(edge_axes):
+        lo, hi = spec.pads[axis]
+        st = spec.stride[axis]
+        k_ax = spec.kernel[axis]
+        size = x.shape[1 + axis]
+        out_size = y.shape[1 + axis]
+
+        def slab_conv(slab, taps, axis=axis, pos=pos):
+            """Conv of a 1-wide slab along ``axis`` with ``taps`` (the
+            missing kernel taps) summed along that axis.
+
+            ALL padding is materialised on the slab (it is thin, so the
+            copy is negligible): edge mode for later edge axes, zeros
+            for zero-mode axes and earlier edge axes (whose off-tensor
+            terms are already counted).  Degenerate-extent convs with
+            asymmetric window padding miscompile on this libtpu (NaN
+            bands observed at (B,T,1,W,C) with T window (2,0)), so slab
+            convs carry no window padding at all."""
+            k2 = jnp.sum(taps, axis=axis, keepdims=True)
+            strides = list(spec.stride)
+            strides[axis] = 1
+            edge_widths = [(0, 0)] * 5
+            zero_widths = [(0, 0)] * 5
+            for a in range(3):
+                if a == axis:
+                    continue
+                if a in edge_axes and edge_axes.index(a) > pos:
+                    edge_widths[1 + a] = tuple(spec.pads[a])
+                else:
+                    zero_widths[1 + a] = tuple(spec.pads[a])
+            if any(w != (0, 0) for w in edge_widths):
+                slab = jnp.pad(slab, edge_widths, mode="edge")
+            if any(w != (0, 0) for w in zero_widths):
+                slab = jnp.pad(slab, zero_widths)
+            return raw_conv(slab, k2, [(0, 0)] * 3, tuple(strides))
+
+        def take(arr, sl, axis=axis):
+            idx = [slice(None)] * 5
+            idx[1 + axis] = sl
+            return arr[tuple(idx)]
+
+        def tap_slice(k, sl, axis=axis):
+            idx = [slice(None)] * 5
+            idx[axis] = sl
+            return k[tuple(idx)]
+
+        lo_fixes = []
+        o = 0
+        while o * st < lo and o < out_size:
+            n_missing = lo - o * st
+            lo_fixes.append(slab_conv(take(x, slice(0, 1)),
+                                      tap_slice(kernel, slice(0, n_missing))))
+            o += 1
+        hi_fixes = []
+        o = out_size - 1
+        while o >= 0 and (o * st - lo + k_ax - 1) > size - 1:
+            n_missing = (o * st - lo + k_ax - 1) - (size - 1)
+            hi_fixes.append(slab_conv(
+                take(x, slice(size - 1, size)),
+                tap_slice(kernel, slice(k_ax - n_missing, k_ax))))
+            o -= 1
+        hi_fixes = hi_fixes[::-1]
+
+        # Pad each fix to the full output extent and add — the adds are
+        # elementwise and fuse into the conv epilogue.  The barrier
+        # around the concatenated fix keeps XLA from fusing the slab
+        # conv + pad + add into one composition, which miscompiles to
+        # NaN bands on this libtpu (observed at (1,5,64,64,32)
+        # sd3_causal bf16); a dynamic_update_slice formulation avoided
+        # the NaN too but materialised full-tensor copies per band
+        # update (2x slower in-chain at the 720p tile).
+        if lo_fixes:
+            fix = jnp.concatenate(lo_fixes, axis=1 + axis) \
+                if len(lo_fixes) > 1 else lo_fixes[0]
+            fix = lax.optimization_barrier(fix)
+            widths = [(0, 0)] * 5
+            widths[1 + axis] = (0, out_size - fix.shape[1 + axis])
+            y = y + jnp.pad(fix, widths).astype(y.dtype)
+        if hi_fixes:
+            fix = jnp.concatenate(hi_fixes, axis=1 + axis) \
+                if len(hi_fixes) > 1 else hi_fixes[0]
+            fix = lax.optimization_barrier(fix)
+            widths = [(0, 0)] * 5
+            widths[1 + axis] = (out_size - fix.shape[1 + axis], 0)
+            y = y + jnp.pad(fix, widths).astype(y.dtype)
     return y

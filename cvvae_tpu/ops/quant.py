@@ -214,14 +214,55 @@ def conv3d_int8(x: jax.Array, params: dict, spec: Conv3DSpec, *,
         xq = quantize_act_static(x, scale_x)
     else:
         xq, scale_x = quantize_act(x)
-    xq = _edge_pad(xq, spec.pads, spec.modes)
-    lax_padding = [tuple(pad) if mode == "zero" else (0, 0)
-                   for pad, mode in zip(spec.pads, spec.modes)]
-    y = lax.conv_general_dilated(
-        xq, params["kernel_q"], window_strides=spec.stride,
-        padding=lax_padding, dimension_numbers=_DIMENSION_NUMBERS,
-        preferred_element_type=jnp.int32, precision=precision)
-    y = y.astype(jnp.float32) * (scale_x * params["scale_w"])
+    from cvvae_tpu.ops.conv import EDGE_FAST_SPACE
+    if EDGE_FAST_SPACE and any(m == "edge" and (p[0] or p[1])
+                               for m, p in zip(spec.modes, spec.pads)):
+        # replicate padding without the (int8) full-tensor pad copy:
+        # int8 zero-window main conv + thin-slab boundary fixes — see
+        # ops.conv's _conv3d_edge_fast for the inclusion-exclusion
+        # scheme.  MEASURED SLOWER in-chain than the materialised int8
+        # pad on this chip (345 vs 225 ms at the SD3 720p resblock
+        # chain — PERF.md round 4), so gated OFF by default.  The
+        # decomposition hands raw_conv fp kernels (the main call gets
+        # the dequantized kernel, slab calls get tap-sums);
+        # re-quantizing the dequantized kernel per-channel is EXACT
+        # (each channel's max maps back to +-127), so the main conv is
+        # bit-identical to one on params["kernel_q"], and the tiny slab
+        # fixes run through the same int8 path.
+        from cvvae_tpu.ops.conv import _conv3d_edge_fast
+
+        k_fp = params["kernel_q"].astype(jnp.float32) * params["scale_w"]
+        bias = params.get("bias")
+
+        def raw_conv(v, k, pads, strides):
+            """Dequant epilogue fuses into each conv in f32, then casts
+            to the compute dtype immediately, so the band fixes never
+            hold a full-tensor f32 copy live (an f32-resident variant
+            measured a 16.9 GB temp arena at the 720p level-0 shape —
+            over HBM).  The bias is folded into the MAIN call only
+            (``k is k_fp``); slab fixes are pure correction terms."""
+            wq, sw = quantize_kernel(k)
+            z = lax.conv_general_dilated(
+                v, wq, window_strides=strides, padding=pads,
+                dimension_numbers=_DIMENSION_NUMBERS,
+                preferred_element_type=jnp.int32, precision=precision)
+            zf = z.astype(jnp.float32) * (scale_x * sw)
+            if bias is not None and k is k_fp:
+                zf = zf + bias.astype(jnp.float32)
+            return zf.astype(out_dtype)
+
+        return _conv3d_edge_fast(xq, k_fp, spec, precision,
+                                 raw_conv=raw_conv)
+    else:
+        xq = _edge_pad(xq, spec.pads, spec.modes)
+        lax_padding = [tuple(pad) if mode == "zero" else (0, 0)
+                       for pad, mode in zip(spec.pads, spec.modes)]
+        y = lax.conv_general_dilated(
+            xq, params["kernel_q"], window_strides=spec.stride,
+            padding=lax_padding,
+            dimension_numbers=_DIMENSION_NUMBERS,
+            preferred_element_type=jnp.int32, precision=precision)
+        y = y.astype(jnp.float32) * (scale_x * params["scale_w"])
     bias = params.get("bias")
     if bias is not None:
         y = y + bias.astype(jnp.float32)
