@@ -40,6 +40,61 @@ def roundtrip_fps(vae, x, frames, n_iters=3):
     return frames / dt, out
 
 
+def measure_train(n_iters=2):
+    """G+D train-pair rate at the shipped recipe shapes (SD3 latent
+    constraint, bs 8x320px images / 1x17f 256px video, bf16 compute —
+    configs/cvvae_sd3_constraint_training.yaml:92-180).  Returns BENCH
+    detail entries; the compile cost is amortised by the persistent
+    compilation cache."""
+    import time as _time
+
+    from cvvae_tpu.losses.vae_loss import LossConfig
+    from cvvae_tpu.training.engine import EngineConfig, TrainingEngine
+    from cvvae_tpu.training.optim import OptimConfig
+
+    cfg = EngineConfig(
+        family="sd3", constraint="latent",
+        loss=LossConfig(perceptual_weight=0.0, disc_start=0),
+        optim=OptimConfig(), remat=True, compute_dtype="bfloat16",
+        donate_state=True)
+    engine = TrainingEngine(cfg, seed=0)
+    batches = {
+        "image": jax.random.normal(jax.random.PRNGKey(1),
+                                   (8, 1, 320, 320, 3), jnp.float32) * 0.3,
+        "video": jax.random.normal(jax.random.PRNGKey(2),
+                                   (1, 17, 256, 256, 3), jnp.float32) * 0.3,
+    }
+    rng = jax.random.PRNGKey(3)
+    detail = {}
+    pair_secs = {}
+    for name, frames in batches.items():
+        batch = {"frames": frames}
+        st = engine.init_state(jax.random.PRNGKey(0))
+        for _ in range(2):  # compile + warm G and D
+            st, m = engine.train_step(st, batch, rng)
+            {k: float(v) for k, v in m.items()}
+        best = float("inf")
+        for _ in range(n_iters):
+            t0 = _time.perf_counter()
+            st, m1 = engine.train_step(st, batch, rng)
+            st, m2 = engine.train_step(st, batch, rng)
+            {k: float(v) for k, v in m2.items()}
+            best = min(best, _time.perf_counter() - t0)
+        pair_secs[name] = best
+        detail[f"train_pairs_per_sec_{name}"] = round(1.0 / best, 3)
+        del st
+    # optimizer steps/s at the shipped 0.5/0.5 multiplexer mix
+    detail["train_steps_per_sec"] = round(
+        4.0 / (pair_secs["image"] + pair_secs["video"]), 3)
+    try:
+        stats = jax.local_devices()[0].memory_stats()
+        detail["train_hbm_peak_gb"] = round(
+            stats.get("peak_bytes_in_use", 0) / 2**30, 2)
+    except Exception:
+        pass
+    return detail
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--dtype", default="int8", choices=["int8", "bf16"],
@@ -50,6 +105,10 @@ def main():
                          "flagship; cvvae_sd3_inference_video.py:11-53)")
     ap.add_argument("--skip_bf16", action="store_true",
                     help="with --dtype int8: skip the bf16 comparison run")
+    ap.add_argument("--train", default=True,
+                    action=argparse.BooleanOptionalAction,
+                    help="also measure the shipped-recipe train step "
+                         "(train_steps_per_sec in detail)")
     args = ap.parse_args()
 
     from cvvae_tpu.utils.profiling import enable_compilation_cache
@@ -110,6 +169,16 @@ def main():
         rng = float(jnp.max(jnp.abs(a.astype(jnp.float32)))) * 2
         result["detail"]["int8_vs_bf16_agreement_db"] = round(float(
             jnp.mean(psnr(a, b, data_range=rng))), 2)
+    if args.train:
+        # free the inference nets/outputs before the 13+ GB train step
+        import gc
+        a = b = None
+        del vae, m_vae, outs, x, a, b
+        gc.collect()
+        try:
+            result["detail"].update(measure_train())
+        except Exception as e:  # never break the headline on train OOM
+            result["detail"]["train_error"] = f"{type(e).__name__}: {e}"[:200]
     print(json.dumps(result))
 
 
