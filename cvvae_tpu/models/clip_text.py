@@ -131,8 +131,15 @@ def apply_clip_text(params: dict, input_ids: jax.Array,
 def pooled_output(last_hidden: jax.Array, input_ids: jax.Array,
                   eos_token_id: int = 49407) -> jax.Array:
     """transformers' pooled_output: the hidden state at the first EOS
-    token (falls back to argmax-of-ids, the pre-vocab-fix behaviour,
-    when the ids never hit ``eos_token_id``)."""
+    token.
+
+    Divergence note: the fallback to argmax-of-ids (transformers'
+    pre-vocab-fix "legacy" behaviour) is applied *per row* here when a
+    row lacks ``eos_token_id``, whereas transformers selects legacy vs
+    EOS pooling *globally* from the model config.  Unreachable with the
+    standard ``CLIPTokenizer`` (it always appends EOS); callers feeding
+    custom ids without EOS will diverge from a non-legacy reference.
+    """
     is_eos = input_ids == eos_token_id
     has_eos = is_eos.any(axis=-1)
     first_eos = jnp.argmax(is_eos, axis=-1)

@@ -28,11 +28,20 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import os
 from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 from jax import lax
+
+#: Trace-time switch for the space-axis edge-fast decomposition
+#: (_conv3d_edge_fast) — measured SLOWER in-chain than the materialised
+#: pad on this chip (PERF.md round 4), kept for A/B runs on other
+#: hardware.  Read from CVVAE_EDGE_FAST once at import: set the env var
+#: BEFORE importing cvvae_tpu, or flip this module global directly
+#: (what the A/B tools and tests do).
+EDGE_FAST_SPACE = os.environ.get("CVVAE_EDGE_FAST", "0") == "1"
 
 Pad = Tuple[int, int]
 
@@ -343,14 +352,6 @@ def _conv3d_small_cin(x: jax.Array, kernel: jax.Array, spec: Conv3DSpec,
     z = jnp.concatenate(slices, axis=-1)
     wmat = kernel.reshape(-1, kernel.shape[-1])
     return jnp.einsum("bthwk,ko->bthwo", z, wmat, precision=precision)
-
-
-import os as _os
-
-#: Trace-time switch for the space-axis edge-fast decomposition below —
-#: measured SLOWER in-chain than the materialised pad on this chip
-#: (PERF.md round 4), kept for A/B runs on other hardware.
-EDGE_FAST_SPACE = _os.environ.get("CVVAE_EDGE_FAST", "0") == "1"
 
 
 def _conv3d_edge_time_fast(x: jax.Array, kernel: jax.Array, spec: Conv3DSpec,
