@@ -62,7 +62,10 @@ def _npy_load(data: bytes) -> np.ndarray:
 class VAEWorker:
     """Owns the device model; executes requests strictly in order."""
 
-    def __init__(self, vae, *, max_queue: int = 8, act_dtype=None):
+    def __init__(self, vae, *, max_queue: int = 8, act_dtype=None,
+                 put_timeout: float = 5.0):
+        import collections
+
         import jax
         import jax.numpy as jnp
         self._jax, self._jnp = jax, jnp
@@ -83,9 +86,15 @@ class VAEWorker:
             (x.astype(jnp.float32) + 1.0) * 127.5, 0, 255
         ).astype(jnp.uint8))
         self._q: "queue.Queue" = queue.Queue(maxsize=max_queue)
+        #: how long submit() waits for queue space before the caller
+        #: sees queue.Full (-> HTTP 503).  Tests shrink this.
+        self.put_timeout = put_timeout
         self._key = jax.random.PRNGKey(0)
         self.stats = {"encode": 0, "decode": 0, "reconstruct": 0,
                       "errors": 0, "frames": 0, "busy_s": 0.0}
+        # per-request wall latency (queue wait + device time), most
+        # recent 512 requests — /stats reports p50/p95
+        self.latencies_ms = collections.deque(maxlen=512)
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
@@ -130,10 +139,12 @@ class VAEWorker:
     # ---- caller side ----
     def submit(self, kind: str, payload: np.ndarray, sample: bool,
                timeout: float = 600.0) -> np.ndarray:
+        t0 = time.perf_counter()
         box = {"done": threading.Event()}
-        self._q.put((kind, payload, sample, box), timeout=5.0)
+        self._q.put((kind, payload, sample, box), timeout=self.put_timeout)
         if not box["done"].wait(timeout):
             raise TimeoutError(f"{kind} timed out after {timeout}s")
+        self.latencies_ms.append((time.perf_counter() - t0) * 1e3)
         if "err" in box:
             raise box["err"]
         return box["out"]
@@ -180,6 +191,13 @@ def _make_handler(worker: VAEWorker, started: float,
                 busy = s["busy_s"] or 1e-9
                 s["frames_per_busy_s"] = round(s["frames"] / busy, 2)
                 s["busy_s"] = round(s["busy_s"], 2)
+                lats = sorted(worker.latencies_ms)
+                if lats:
+                    s["latency_ms_p50"] = round(
+                        lats[len(lats) // 2], 1)
+                    s["latency_ms_p95"] = round(
+                        lats[min(len(lats) - 1,
+                                 int(len(lats) * 0.95))], 1)
                 return self._send_json(200, s)
             return self._send_json(404, {"error": "unknown path"})
 
@@ -234,11 +252,12 @@ class DrainingHTTPServer(ThreadingHTTPServer):
 
 def build_server(vae, port: int = 8400, host: str = "127.0.0.1",
                  max_queue: int = 8, act_dtype=None,
-                 max_body_bytes: int = 512 * 1024 * 1024
-                 ) -> ThreadingHTTPServer:
+                 max_body_bytes: int = 512 * 1024 * 1024,
+                 put_timeout: float = 5.0) -> ThreadingHTTPServer:
     """Wrap a ready VideoVAE in the HTTP boundary (tests use this
     directly with a tiny config; __main__ adds model build + warm-up)."""
-    worker = VAEWorker(vae, max_queue=max_queue, act_dtype=act_dtype)
+    worker = VAEWorker(vae, max_queue=max_queue, act_dtype=act_dtype,
+                       put_timeout=put_timeout)
     server = DrainingHTTPServer((host, port), _make_handler(
         worker, time.time(), max_body_bytes))
     server.worker = worker

@@ -190,3 +190,149 @@ def test_quantized_cache_roundtrip(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(q1.decode(q1.encode(xj).mode())),
         np.asarray(q2.decode(q2.encode(xj).mode())))
+
+
+# ---------------------------------------------------------------------------
+# Concurrency / load behaviour (VERDICT r4 item 8).  A controllable-
+# latency stand-in replaces the model so the tests pin the *queueing*
+# semantics — bounded queue, 503 at max_queue, serialized execution,
+# drain-on-shutdown — without device time.
+# ---------------------------------------------------------------------------
+
+import time
+
+
+class _FakePosterior:
+    def __init__(self, z):
+        self._z = z
+
+    def mode(self):
+        return self._z
+
+    def sample(self, key):
+        return self._z
+
+
+class _SlowVAE:
+    """encode/decode sleep ``delay`` s; an optional ``gate`` Event holds
+    the FIRST request until the test releases it (keeps the worker busy
+    while the queue is filled)."""
+
+    def __init__(self, delay=0.02, gate=None):
+        self.delay = delay
+        self._gate = gate
+        self.params = {}
+
+    def encode(self, x):
+        if self._gate is not None:
+            gate, self._gate = self._gate, None
+            gate.wait(30.0)
+        time.sleep(self.delay)
+        return _FakePosterior(jnp.zeros((1, 1, 2, 2, 4), jnp.float32))
+
+    def decode(self, z):
+        time.sleep(self.delay)
+        return jnp.zeros((1, 4, 8, 8, 3), jnp.float32)
+
+
+def _serve_fake(vae, max_queue, put_timeout):
+    server = build_server(vae, port=0, max_queue=max_queue,
+                          put_timeout=put_timeout)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    return server, server.server_address[1]
+
+
+def test_queue_full_returns_503():
+    """With the worker held busy and the queue at max_queue, the next
+    request is rejected with HTTP 503 (not buffered unboundedly)."""
+    gate = threading.Event()
+    server, port = _serve_fake(_SlowVAE(gate=gate), max_queue=2,
+                               put_timeout=0.2)
+    frames = np.zeros((5, 8, 8, 3), np.uint8)
+    results = []
+
+    def post():
+        results.append(_post(port, "/encode", frames)[0])
+
+    try:
+        threads = [threading.Thread(target=post) for _ in range(3)]
+        threads[0].start()           # worker picks it up, blocks on gate
+        time.sleep(0.3)
+        for t in threads[1:]:        # fill the 2-slot queue
+            t.start()
+        time.sleep(0.3)
+        assert server.worker.queue_depth == 2
+        status, body = _post(port, "/encode", frames)   # 3rd waiter
+        assert status == 503
+        assert b"queue full" in body
+        gate.set()
+        for t in threads:
+            t.join(30.0)
+        assert results.count(200) == 3   # the queued ones all completed
+    finally:
+        gate.set()
+        server.shutdown()
+        server.server_close()
+
+
+def test_concurrent_clients_serialize_and_report_latency():
+    """N parallel clients: every request succeeds, execution is strictly
+    sequential (total busy time ~= N * per-request device time), and
+    /stats carries the latency distribution."""
+    n, delay = 8, 0.03
+    server, port = _serve_fake(_SlowVAE(delay=delay), max_queue=16,
+                               put_timeout=5.0)
+    frames = np.zeros((5, 8, 8, 3), np.uint8)
+    lat = {}
+
+    def post(i):
+        t0 = time.perf_counter()
+        status, _ = _post(port, "/reconstruct", frames)
+        lat[i] = (time.perf_counter() - t0, status)
+
+    try:
+        threads = [threading.Thread(target=post, args=(i,))
+                   for i in range(n)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(60.0)
+        assert len(lat) == n
+        assert all(s == 200 for _, s in lat.values())
+        # serialized: the slowest client waited behind ~n-1 others
+        per_req = 2 * delay                   # encode + decode
+        times = sorted(v for v, _ in lat.values())
+        assert times[-1] >= (n - 1) * per_req * 0.5
+        status, stats = _get_json(port, "/stats")
+        assert status == 200
+        assert stats["reconstruct"] == n
+        assert stats["queue_depth"] == 0
+        assert stats["latency_ms_p50"] > 0
+        assert stats["latency_ms_p95"] >= stats["latency_ms_p50"]
+        assert stats["busy_s"] >= n * per_req * 0.9
+    finally:
+        server.shutdown()
+        server.server_close()
+
+
+def test_shutdown_drains_inflight_requests():
+    """shutdown() + server_close() under load: every accepted request
+    completes with 200 before the server is torn down."""
+    server, port = _serve_fake(_SlowVAE(delay=0.05), max_queue=16,
+                               put_timeout=5.0)
+    frames = np.zeros((5, 8, 8, 3), np.uint8)
+    results = []
+
+    def post():
+        results.append(_post(port, "/reconstruct", frames)[0])
+
+    threads = [threading.Thread(target=post) for _ in range(4)]
+    for t in threads:
+        t.start()
+    time.sleep(0.08)                 # let them reach the worker queue
+    server.shutdown()                # stop accepting; drain in-flight
+    server.server_close()            # joins the non-daemon handlers
+    for t in threads:
+        t.join(30.0)
+    assert results == [200, 200, 200, 200]
