@@ -145,8 +145,18 @@ def upsample2x_conv3x3_interleave(x: jax.Array, params: dict, *,
             for idx, (hp, wp) in enumerate(corners)]
     b, t, h, w, nc = phases[0].shape
     c = nc // n
-    y = jnp.stack(phases, axis=4)               # (B,T',H,W,4,n*c)
     bias = params.get("bias")
+
+    # gated Pallas interleave (ops/pallas/shuffle.py): same permutation
+    # + bias add, VMEM-tiled instead of XLA's fine-grained HBM gather —
+    # see PERF.md for the measured A/B and the shipping decision
+    from cvvae_tpu.ops.pallas import shuffle as _shuffle
+    if (_shuffle.shuffle_enabled()
+            and _shuffle.shuffle_usable(phases, n, c)):
+        return _shuffle.subpixel_interleave(
+            phases, bias, n=n, drop_first=drop_first)
+
+    y = jnp.stack(phases, axis=4)               # (B,T',H,W,4,n*c)
     if bias is not None:
         y = y + bias.astype(y.dtype)
     y = y.reshape(b, t, h, w, 2, 2, n, c)

@@ -167,6 +167,39 @@ def main():
     timed("shipped-int8", lambda v: upsample2x_conv3x3_interleave(
         v, qp, n=N, t_pad=T_PAD, t_mode="edge", hw_mode="zero"), x)
 
+    # Pallas subpixel-interleave kernel (round 5, ops/pallas/shuffle.py)
+    from cvvae_tpu.ops.pallas.shuffle import (pallas_shuffle,
+                                              subpixel_interleave)
+
+    for bh in (2, 4, 8):
+        timed(f"pallas-shuffle bh={bh}",
+              lambda *ps, bh=bh: subpixel_interleave(
+                  list(ps), bias, n=N, block_h=bh), *ph)
+
+    with pallas_shuffle():
+        timed("shipped+pallas", lambda v: upsample2x_conv3x3_interleave(
+            v, params, n=N, t_pad=T_PAD, t_mode="edge", hw_mode="zero"), x)
+        timed("shipped-int8+pallas",
+              lambda v: upsample2x_conv3x3_interleave(
+                  v, qp, n=N, t_pad=T_PAD, t_mode="edge", hw_mode="zero"), x)
+
+    # bit-check pallas == shipped on device at a small shape.  The gate
+    # needs c % 128 == 0, so use C_out = N*128 (k_small's c=16 would
+    # silently fall back to the XLA path and check nothing).
+    k_pl = (jax.random.normal(jax.random.PRNGKey(10), (3, 3, 3, 16, 256),
+                              jnp.float32) * 0.05).astype(jnp.bfloat16)
+    b_pl = jax.random.normal(jax.random.PRNGKey(11), (256,), jnp.bfloat16)
+    a = np.asarray(jax.jit(lambda v: upsample2x_conv3x3_interleave(
+        v, {"kernel": k_pl, "bias": b_pl},
+        n=N, t_pad=T_PAD, t_mode="edge", hw_mode="zero"))(xs), np.float32)
+    with pallas_shuffle():
+        bpl = np.asarray(jax.jit(lambda v: upsample2x_conv3x3_interleave(
+            v, {"kernel": k_pl, "bias": b_pl},
+            n=N, t_pad=T_PAD, t_mode="edge", hw_mode="zero"))(xs),
+            np.float32)
+    print(f"  pallas vs shipped max abs diff: {np.abs(a - bpl).max():.2e}",
+          flush=True)
+
 
 if __name__ == "__main__":
     main()
