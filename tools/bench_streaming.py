@@ -19,6 +19,114 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def device_resident_stream(vae, args):
+    """Sustained DEVICE rate for the streaming recipe, tunnel excluded.
+
+    The production windowing (streaming.py: encode 16+1-frame chunks
+    with one-frame overlap; decode 2+1-latent windows dropping the
+    overlap frame — byte-identical contract pinned by
+    tests/test_streaming.py) is replayed with the whole clip staged on
+    device as uint8 and every decoded block reduced to an on-device
+    uint32 checksum, so the only host transfer is one scalar at the
+    end.  Two passes: the first compiles/warms every window shape, the
+    second is the timed steady state."""
+    from cvvae_tpu.streaming import read_video_frames
+
+    window = vae.config.en_de_n_frames_a_time
+    dwin = vae.config.decode_n_frames_a_time
+    # Only one real window per distinct shape is ever staged (below), so
+    # the plan length is independent of the clip length: a clip shorter
+    # than --max_frames still yields an honest N-frame sustained rate
+    # (BASELINE config 5 asks for 30 s = 901 frames; the reference clips
+    # are 270/349 frames long).
+    frames, _ = read_video_frames(args.video, height=720, width=1280,
+                                  max_frames=window + 1)
+    host = np.stack(list(frames))                      # (<=W+1, 720, 1280, 3)
+    n_frames = args.max_frames
+    # Window plan (encode windows of window+1 frames with a 1-frame
+    # overlap — the streaming.py chunking).  One REAL window per
+    # distinct shape is staged on device and replayed for every window
+    # of that shape: conv/GN/attention time is shape-dependent, not
+    # value-dependent, so the replay measures the true device rate with
+    # zero tunnel traffic in the timed region.  (Holding all 17 windows
+    # resident crashed the worker on top of the near-HBM full-frame
+    # encode working set, and per-window just-in-time staging would
+    # re-include the ~25 MB/s tunnel this mode exists to exclude.)
+    win_shapes, start, first = [], 0, True
+    while True:
+        stop = min(start + window + 1, n_frames)
+        if stop - start > 1 or first:
+            win_shapes.append(stop - start)
+        if stop >= n_frames:         # a 1-frame tail is overlap only
+            break
+        start, first = stop - 1, False
+    staged = {t: jax.device_put(host[:t]) for t in set(win_shapes)}
+    del host
+    normalize = jax.jit(lambda u: (u.astype(jnp.bfloat16) / 127.5 - 1.0)[None])
+    checksum = jax.jit(lambda x, acc: acc + jnp.sum(jnp.clip(
+        (x.astype(jnp.float32) + 1.0) * 127.5, 0, 255
+    ).astype(jnp.uint8).astype(jnp.uint32)))
+
+    def run():
+        acc = jnp.uint32(0)
+        out_frames, buf, first_out = 0, None, True
+
+        def drain(buf, acc, out_frames, first_out, tail=False):
+            while buf is not None and buf.shape[1] >= dwin + 1:
+                piece, buf = buf[:, :dwin + 1], buf[:, dwin:]
+                x = vae.spatial_tiled_decode(piece)
+                x = x[:, 1:] if not first_out else x
+                acc = checksum(x, acc)
+                out_frames += x.shape[1]
+                first_out = False
+            if tail and buf is not None and (
+                    buf.shape[1] > 1 or (first_out and buf.shape[1] == 1)):
+                x = vae.spatial_tiled_decode(buf)
+                x = x[:, 1:] if not first_out else x
+                acc = checksum(x, acc)
+                out_frames += x.shape[1]
+                first_out = False
+            return buf, acc, out_frames, first_out
+
+        for i, t in enumerate(win_shapes):
+            z = vae.encode(normalize(staged[t])).mode()
+            z = z if i == 0 else z[:, 1:]
+            buf = z if buf is None else jnp.concatenate([buf, z], axis=1)
+            buf, acc, out_frames, first_out = drain(
+                buf, acc, out_frames, first_out)
+        buf, acc, out_frames, first_out = drain(
+            buf, acc, out_frames, first_out, tail=True)
+        return float(acc), out_frames                  # scalar fetch = sync
+
+    run()                                              # warm every shape
+    t0 = time.perf_counter()
+    _, n_out = run()
+    dt = time.perf_counter() - t0
+    assert n_out == n_frames, (n_out, n_frames)
+    print(f"device-resident stream: {n_out} frames 720p ({args.dtype}) in "
+          f"{dt:.1f} s -> {n_out/dt:.2f} fps sustained, tunnel excluded "
+          f"({n_out/dt/30:.3f}x realtime-30)", flush=True)
+    stats = jax.local_devices()[0].memory_stats()
+    if stats:   # returns None under the axon tunnel
+        peak = stats.get("peak_bytes_in_use", 0)
+        print(f"  peak HBM (measured): {peak / 2**30:.2f} GiB", flush=True)
+    # Analytic peak from the compiler for the two hot programs (cache
+    # hit — both just ran): argument + output + XLA temp allocations.
+    t_enc = max(win_shapes)
+    enc_in = jax.ShapeDtypeStruct((1, t_enc, 720, 1280, 3), jnp.bfloat16)
+    lat = (1, dwin + 1, 720 // 8, 1280 // 8, vae.config.latent_channels)
+    dec_in = jax.ShapeDtypeStruct(lat, jnp.bfloat16)
+    for name, fn, p, s in (
+            ("encode window", vae._enc, vae.params["encoder"], enc_in),
+            ("decode window", vae._sp_dec, vae.params["decoder"], dec_in)):
+        ma = fn.lower(p, s).compile().memory_analysis()
+        total = (ma.argument_size_in_bytes + ma.output_size_in_bytes
+                 + ma.temp_size_in_bytes + ma.generated_code_size_in_bytes)
+        print(f"  {name} {s.shape}: compiler peak "
+              f"{total / 2**30:.2f} GiB "
+              f"(temps {ma.temp_size_in_bytes / 2**30:.2f})", flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--dtype", default="int8", choices=["int8", "bf16"])
@@ -31,6 +139,14 @@ def main():
     ap.add_argument("--breakdown", action="store_true",
                     help="also time host decode alone and device-resident "
                          "compute alone (the PERF.md gap table)")
+    ap.add_argument("--device_resident", action="store_true",
+                    help="stream the production encode/decode windows "
+                         "device-to-device (one staged uint8 window per "
+                         "distinct shape, replayed) and reduce each decoded "
+                         "block to an on-device checksum - the tunnel-free "
+                         "sustained device rate (the axon host<->device "
+                         "link is ~25 MB/s and dominates every "
+                         "host-touching mode here)")
     args = ap.parse_args()
 
     from cvvae_tpu.models.video_vae import VideoVAE, VideoVAEConfig
@@ -76,6 +192,10 @@ def main():
         dt = time.perf_counter() - t0
         print(f"  pre-decoded stream:        {n/dt:6.2f} fps "
               f"(device + D2H, no cv2)")
+
+    if args.device_resident:
+        device_resident_stream(vae, args)
+        return
 
     frames, fps_in = read_video_frames(args.video, height=720, width=1280,
                                        max_frames=args.max_frames)
