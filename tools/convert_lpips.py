@@ -31,7 +31,12 @@ from __future__ import annotations
 
 import argparse
 import hashlib
+import os
 import sys
+
+# Keep the documented `python tools/convert_lpips.py ...` invocation
+# working from any cwd (sys.path[0] is tools/, not the repo root).
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 LIN_KEYS = [f"lin{k}.model.1.weight" for k in range(5)]
 LPIPS_CHANNELS = (64, 128, 256, 512, 512)

@@ -33,6 +33,10 @@ import json
 import os
 import sys
 
+# Keep the documented `python tools/verify_checkpoints.py ...` invocation
+# working from any cwd (sys.path[0] is tools/, not the repo root).
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 def psnr_db(a, b) -> float:
     import numpy as np
