@@ -50,10 +50,11 @@ def roundtrip_fps(vae, x, frames, n_iters=3):
 
 def measure_train(n_iters=2, lpips=True):
     """G+D train-pair rate at the shipped recipe shapes (SD3 latent
-    constraint, bs 8x320px images / 1x17f 256px video, bf16 compute —
-    configs/cvvae_sd3_constraint_training.yaml:92-180).  Returns BENCH
-    detail entries; the compile cost is amortised by the persistent
-    compilation cache.
+    constraint, 320px images / 1x17f 256px video, bf16 compute —
+    configs/cvvae_sd3_constraint_training.yaml:92-180; image batch is
+    the shipped bs 8 without LPIPS, bs 2 with — the largest that fits,
+    see below).  Returns BENCH detail entries; the compile cost is
+    amortised by the persistent compilation cache.
 
     lpips=True puts a random-init VGG16 LPIPS in the graph at the
     shipped perceptual_weight=0.5 (configs/...yaml:60-66) so the
@@ -84,9 +85,17 @@ def measure_train(n_iters=2, lpips=True):
     # Random-init VGG16 at the right shape: honest *cost*, uncalibrated
     # quality (no pretrained weights in this env) — engine.py:125-140.
     engine = TrainingEngine(cfg, seed=0, allow_random_lpips=lpips)
+    # With LPIPS in the graph the shipped image batch (bs 8, yaml:92)
+    # does NOT fit a 16 GB v5e: bs 8 OOMs HBM at execution and bs 4
+    # crashes the remote compile helper (measured round 5 — the
+    # reference trains on 8x40/80 GB GPUs).  bs 2 fits; the shipped
+    # global batch is reached with more DP chips, and pairs/s here is
+    # per chip at the fitting batch (key carries the batch size).
+    image_bs = 2 if lpips else 8
     batches = {
-        "image": jax.random.normal(jax.random.PRNGKey(1),
-                                   (8, 1, 320, 320, 3), jnp.float32) * 0.3,
+        f"image_bs{image_bs}": jax.random.normal(
+            jax.random.PRNGKey(1), (image_bs, 1, 320, 320, 3),
+            jnp.float32) * 0.3,
         "video": jax.random.normal(jax.random.PRNGKey(2),
                                    (1, 17, 256, 256, 3), jnp.float32) * 0.3,
     }
@@ -112,7 +121,7 @@ def measure_train(n_iters=2, lpips=True):
         del st
     # optimizer steps/s at the shipped 0.5/0.5 multiplexer mix
     detail["train_steps_per_sec" + ("" if lpips else "_nolpips")] = round(
-        4.0 / (pair_secs["image"] + pair_secs["video"]), 3)
+        4.0 / (pair_secs[f"image_bs{image_bs}"] + pair_secs["video"]), 3)
     try:
         stats = jax.local_devices()[0].memory_stats()
         post_peak = stats.get("peak_bytes_in_use", 0)
