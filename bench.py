@@ -116,11 +116,14 @@ def measure_train(n_iters=2, lpips=True):
             {k: float(v) for k, v in m2.items()}
             best = min(best, _time.perf_counter() - t0)
         pair_secs[name] = best
-        tag = "" if lpips else "_nolpips"
+        # every key carries both the batch size (in `name`) and the
+        # LPIPS mode: an unsuffixed key whose workload changes with
+        # flags would silently break cross-round comparisons.
+        tag = "_lpips" if lpips else "_nolpips"
         detail[f"train_pairs_per_sec_{name}{tag}"] = round(1.0 / best, 3)
         del st
     # optimizer steps/s at the shipped 0.5/0.5 multiplexer mix
-    detail["train_steps_per_sec" + ("" if lpips else "_nolpips")] = round(
+    detail[f"train_steps_per_sec_bs{image_bs}mix{tag}"] = round(
         4.0 / (pair_secs[f"image_bs{image_bs}"] + pair_secs["video"]), 3)
     try:
         stats = jax.local_devices()[0].memory_stats()

@@ -83,19 +83,30 @@ def shuffle_usable(phases, n: int, c: int) -> bool:
     """Kernel applicability: serving-shape bands only.
 
     * batch 1 (the serving path; general B would just add a grid dim);
+    * ``n*c`` channel groups split exactly (nc % n);
     * lane-aligned channel group (c % 128) so phase blocks slice the
       channel axis at lane boundaries;
-    * H even blocking available (any H >= 1 works: the band size
-      adapts), W small enough that one (bh>=1) band pair fits VMEM.
+    * the ACTUAL per-step VMEM footprint fits: this models the same
+      (bh, bw) ``subpixel_interleave`` will pick at its defaults —
+      4 phase blocks (bh, bw, c) + out (2bh, bw, 2c), double-buffered,
+      plus the kernel's interleave temporaries (he/ho/stack ≈ another
+      8·bh·bw·c) — an earlier guard modelled a bh=1 full-W band and
+      admitted shapes whose real blocks overran the 16 MB scoped VMEM.
     """
     p = phases[0]
     if p.ndim != 5 or p.shape[0] != 1:
         return False
+    if n < 1 or p.shape[4] % n != 0 or p.shape[4] // n != c:
+        return False
     if c % 128 != 0:
         return False
-    # one H row in+out: 4 phase rows (W, c) + out (2, 2W, c), x2 buffers
-    row_bytes = 8 * p.shape[3] * c * p.dtype.itemsize
-    return row_bytes * 2 < 12 * 2 ** 20
+    bh = 4
+    while p.shape[2] % bh:
+        bh //= 2
+    bw = _pick_block_w(p.shape[3])
+    # blocks double-buffered (16·bh·bw·c) + interleave temps (8·bh·bw·c)
+    step_bytes = 24 * bh * bw * c * p.dtype.itemsize
+    return step_bytes < 12 * 2 ** 20
 
 
 def _interleave(x: jax.Array, y: jax.Array, axis: int) -> jax.Array:

@@ -365,6 +365,13 @@ def main(argv=None):
                     np.uint8)
     t0 = time.perf_counter()
     server.worker.submit("reconstruct", warm, False, timeout=3600.0)
+    # The warm-up request went through the same submit() path, so its
+    # multi-minute compile latency sits in latencies_ms and would
+    # dominate /stats p50/p95 until real traffic dilutes it (and its
+    # frames would inflate frames_per_busy_s).  Reset the serving
+    # counters so /stats reflects steady-state requests only.
+    server.worker.latencies_ms.clear()
+    server.worker.stats.update(reconstruct=0, frames=0, busy_s=0.0)
     print(f"[serve] warm in {time.perf_counter() - t0:.1f}s; "
           f"listening on {args.host}:{args.port}", flush=True)
 

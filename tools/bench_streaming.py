@@ -60,6 +60,12 @@ def device_resident_stream(vae, args):
         if stop >= n_frames:         # a 1-frame tail is overlap only
             break
         start, first = stop - 1, False
+    if host.shape[0] < max(win_shapes):
+        raise SystemExit(
+            f"--device_resident needs a clip with >= {max(win_shapes)} "
+            f"frames at 720p to stage one real window per plan shape; "
+            f"{args.video} yielded only {host.shape[0]} "
+            f"(lower --max_frames or use a longer clip)")
     staged = {t: jax.device_put(host[:t]) for t in set(win_shapes)}
     del host
     normalize = jax.jit(lambda u: (u.astype(jnp.bfloat16) / 127.5 - 1.0)[None])
