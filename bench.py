@@ -13,8 +13,11 @@ against the bf16 path in tests/test_quant.py and measured here as
 same input).  "detail" carries the per-mode fps.  --dtype bf16 makes
 the bf16 number the headline.
 
-The headline JSON line is printed and flushed IMMEDIATELY after the
-inference measurements.  The train-step measurement is opt-in
+The headline JSON line is printed and flushed after EVERY completed
+inference mode (a kill mid-run still leaves the best number so far;
+the last line is the requested-dtype headline), and a mode that dies
+records its error and falls back to the surviving mode rather than
+sinking the run.  The train-step measurement is opt-in
 (--train): it compiles two fresh SD3 G+D graphs at multi-minute XLA
 compile times, which timed out the round-4 driver run when it was
 default-on; with --train, the augmented headline (same metric/value,
@@ -200,35 +203,60 @@ def main():
     modes = ["bf16", "int8"] if not args.skip_bf16 else ["int8"]
     if args.dtype == "bf16" and "bf16" not in modes:
         modes.append("bf16")
-    for mode in modes:
-        if mode == "int8":
-            # calibrated static activation scales: one eager tile-window
-            # pass; dynamic per-tensor quant costs an extra max-reduction
-            # HBM pass per conv that cancels most of the MXU gain
-            m_vae = vae.quantize(calibration=x[:, :, :256, :256])
-        else:
-            m_vae = vae
-        fps, out = roundtrip_fps(m_vae, x, frames)
-        detail[f"{mode}_fps"] = round(fps, 2)
-        outs[mode] = out
-
     family_tag = "" if args.family == "v1" else f"_{args.family}"
-    result = {
-        "metric": f"720p_encode_decode_fps_per_chip{family_tag}_{args.dtype}",
-        "value": detail[f"{args.dtype}_fps"],
-        "unit": "frames/sec",
-        "vs_baseline": round(detail[f"{args.dtype}_fps"] / 30.0, 3),
-        "detail": detail,
-    }
-    if "bf16" in outs and "int8" in outs:
-        a, b = outs["bf16"], outs["int8"]
-        rng = float(jnp.max(jnp.abs(a.astype(jnp.float32)))) * 2
-        result["detail"]["int8_vs_bf16_agreement_db"] = round(float(
-            jnp.mean(psnr(a, b, data_range=rng))), 2)
 
-    # The driver's budget is finite and the headline is what it records:
-    # print + flush it NOW; everything below is best-effort extra.
-    print(json.dumps(result), flush=True)
+    def make_result():
+        head = (args.dtype if f"{args.dtype}_fps" in detail
+                else next(iter(outs)))
+        return {
+            "metric":
+                f"720p_encode_decode_fps_per_chip{family_tag}_{head}",
+            "value": detail[f"{head}_fps"],
+            "unit": "frames/sec",
+            "vs_baseline": round(detail[f"{head}_fps"] / 30.0, 3),
+            "detail": detail,
+        }
+
+    result = None
+    last_mode_errored = False
+    for mode in modes:
+        try:
+            if mode == "int8":
+                # calibrated static activation scales: one eager
+                # tile-window pass; dynamic per-tensor quant costs an
+                # extra max-reduction HBM pass per conv that cancels
+                # most of the MXU gain
+                m_vae = vae.quantize(calibration=x[:, :, :256, :256])
+            else:
+                m_vae = vae
+            fps, out = roundtrip_fps(m_vae, x, frames)
+            detail[f"{mode}_fps"] = round(fps, 2)
+            outs[mode] = out
+        except Exception as e:
+            # One mode dying (transient compile-service crash, OOM)
+            # must not cost the round its number: record the error and
+            # fall back to whichever mode survived for the headline.
+            detail[f"{mode}_error"] = f"{type(e).__name__}: {e}"[:200]
+            last_mode_errored = True
+            continue
+        last_mode_errored = False
+        if "bf16" in outs and "int8" in outs:
+            a, b = outs["bf16"], outs["int8"]
+            rng = float(jnp.max(jnp.abs(a.astype(jnp.float32)))) * 2
+            detail["int8_vs_bf16_agreement_db"] = round(float(
+                jnp.mean(psnr(a, b, data_range=rng))), 2)
+        # The driver's budget is finite and the headline is what it
+        # records: print + flush after EVERY completed mode, so a kill
+        # mid-run still leaves the best number so far; a last-line
+        # parser lands the final (requested-dtype) headline.
+        result = make_result()
+        print(json.dumps(result), flush=True)
+    if not outs:
+        raise SystemExit("every benchmark mode failed: "
+                         + json.dumps(detail))
+    if last_mode_errored:  # surface the error recorded after the last print
+        result = make_result()
+        print(json.dumps(result), flush=True)
 
     if args.train:
         elapsed = time.perf_counter() - t_start
@@ -237,7 +265,7 @@ def main():
         else:
             # free the inference nets/outputs before the 13+ GB train step
             import gc
-            a = b = None
+            m_vae = a = b = None
             del vae, m_vae, outs, x, a, b
             gc.collect()
             try:
