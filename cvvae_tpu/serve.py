@@ -335,6 +335,13 @@ def main(argv=None):
                          "(startup skips the eager calibration pass, the "
                          "slowest startup stage); absent -> written "
                          "after calibration for the next restart")
+    ap.add_argument("--spatial_shards", type=int, default=1,
+                    help="multi-chip serving: shard the height axis of "
+                         "every net call over this many devices "
+                         "(VideoVAE.with_mesh; the SPMD partitioner "
+                         "inserts conv halo exchanges over ICI).  "
+                         "Composes with int8 bit-exactly "
+                         "(tests/test_serve.py).  1 = single device")
     args = ap.parse_args(argv)
     args.warm_frames = truncate_to_4k1(args.warm_frames)
 
@@ -355,6 +362,17 @@ def main(argv=None):
         encode_tile_spatial_size=enc_tile), vae.params)
     if args.dtype == "int8":
         vae = _quantized(vae, args)
+    if args.spatial_shards > 1:
+        import jax
+
+        from cvvae_tpu.parallel.mesh import make_mesh
+        n_dev = len(jax.devices())
+        if args.spatial_shards > n_dev:
+            raise SystemExit(f"--spatial_shards {args.spatial_shards} "
+                             f"> {n_dev} visible devices")
+        vae = vae.with_mesh(make_mesh(args.spatial_shards))
+        print(f"[serve] height axis sharded over "
+              f"{args.spatial_shards} devices", flush=True)
 
     print(f"[serve] warming {args.height}x{args.width} x"
           f"{args.warm_frames}f {args.dtype} programs ...", flush=True)

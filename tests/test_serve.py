@@ -336,3 +336,48 @@ def test_shutdown_drains_inflight_requests():
     for t in threads:
         t.join(30.0)
     assert results == [200, 200, 200, 200]
+
+
+def test_sharded_server_matches_unsharded(served):
+    """Multi-chip serving (serve --spatial_shards): a VideoVAE wrapped
+    with with_mesh behind the daemon matches the single-device server —
+    fp latents within the SPMD reduction-order tolerance the parallel
+    suite pins (GroupNorm statistics are partitioned sums, so last-ulp
+    accumulation order differs; tests/test_parallel.py uses the same
+    atol), uint8 reconstructions within +-1 count — for the fp path AND
+    for int8 (quantize composes with the mesh)."""
+    from cvvae_tpu.parallel.mesh import make_mesh
+
+    vae, port = served
+    rs = np.random.RandomState(3)
+    frames = rs.randint(0, 255, (5, 32, 32, 3), np.uint8)
+
+    for wrap in (lambda v: v,
+                 lambda v: v.quantize(
+                     min_cin=8,
+                     calibration=jnp.asarray(
+                         frames[None], jnp.float32) / 127.5 - 1.0)):
+        base, mesh_vae = wrap(vae), wrap(vae).with_mesh(make_mesh(4))
+        ref_server = build_server(base, port=0)
+        sh_server = build_server(mesh_vae, port=0)
+        for srv in (ref_server, sh_server):
+            threading.Thread(target=srv.serve_forever,
+                             daemon=True).start()
+        try:
+            rport = ref_server.server_address[1]
+            sport = sh_server.server_address[1]
+            for path in ("/encode", "/reconstruct"):
+                s_ref, b_ref = _post(rport, path, frames)
+                s_sh, b_sh = _post(sport, path, frames)
+                assert (s_ref, s_sh) == (200, 200)
+                a = np.load(io.BytesIO(b_ref), allow_pickle=False)
+                b = np.load(io.BytesIO(b_sh), allow_pickle=False)
+                if a.dtype == np.uint8:   # reconstruct: rounding flips
+                    assert np.max(np.abs(a.astype(int)
+                                         - b.astype(int))) <= 1, path
+                else:                      # latents: SPMD sum order
+                    np.testing.assert_allclose(a, b, atol=2e-5,
+                                               rtol=1e-4, err_msg=path)
+        finally:
+            ref_server.shutdown()
+            sh_server.shutdown()
