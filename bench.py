@@ -105,6 +105,10 @@ def measure_train(n_iters=2, lpips=True):
     rng = jax.random.PRNGKey(3)
     detail = {}
     pair_secs = {}
+    # every key carries both the batch size (in the batch name) and the
+    # LPIPS mode: an unsuffixed key whose workload changes with flags
+    # would silently break cross-round comparisons.
+    tag = "_lpips" if lpips else "_nolpips"
     for name, frames in batches.items():
         batch = {"frames": frames}
         st = engine.init_state(jax.random.PRNGKey(0))
@@ -119,10 +123,6 @@ def measure_train(n_iters=2, lpips=True):
             {k: float(v) for k, v in m2.items()}
             best = min(best, _time.perf_counter() - t0)
         pair_secs[name] = best
-        # every key carries both the batch size (in `name`) and the
-        # LPIPS mode: an unsuffixed key whose workload changes with
-        # flags would silently break cross-round comparisons.
-        tag = "_lpips" if lpips else "_nolpips"
         detail[f"train_pairs_per_sec_{name}{tag}"] = round(1.0 / best, 3)
         del st
     # optimizer steps/s at the shipped 0.5/0.5 multiplexer mix
@@ -252,8 +252,12 @@ def main():
         result = make_result()
         print(json.dumps(result), flush=True)
     if not outs:
-        raise SystemExit("every benchmark mode failed: "
-                         + json.dumps(detail))
+        # keep the stdout-JSON contract even in total failure: a driver
+        # parsing the last stdout line still learns WHY there is no fps
+        print(json.dumps({"metric": "benchmark_failed", "value": None,
+                          "unit": "frames/sec", "detail": detail}),
+              flush=True)
+        raise SystemExit(1)
     if last_mode_errored:  # surface the error recorded after the last print
         result = make_result()
         print(json.dumps(result), flush=True)

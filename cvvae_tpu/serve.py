@@ -340,7 +340,11 @@ def main(argv=None):
                          "every net call over this many devices "
                          "(VideoVAE.with_mesh; the SPMD partitioner "
                          "inserts conv halo exchanges over ICI).  "
-                         "Composes with int8 bit-exactly "
+                         "Composes with int8; outputs match the "
+                         "single-device server within SPMD "
+                         "reduction-order tolerance — partitioned "
+                         "GroupNorm sums reorder the last ulp, so NOT "
+                         "byte-identical across shard counts "
                          "(tests/test_serve.py).  1 = single device")
     args = ap.parse_args(argv)
     args.warm_frames = truncate_to_4k1(args.warm_frames)

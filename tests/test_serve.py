@@ -346,18 +346,27 @@ def test_sharded_server_matches_unsharded(served):
     accumulation order differs; tests/test_parallel.py uses the same
     atol), uint8 reconstructions within +-1 count — for the fp path AND
     for int8 (quantize composes with the mesh)."""
+    import dataclasses
+
     from cvvae_tpu.parallel.mesh import make_mesh
 
     vae, port = served
+    # production --spatial_shards always runs behind the tiled-decode
+    # wrappers (serve.main installs rect tiles before with_mesh), so
+    # exercise the _sp_dec/_sp_enc mesh re-jits too: 16-px tiles on a
+    # 32-px input force the multi-tile path.
+    tiled = VideoVAE(dataclasses.replace(
+        vae.config, tile_spatial_size=16, tile_overlap_ratio=0.5),
+        vae.params)
     rs = np.random.RandomState(3)
     frames = rs.randint(0, 255, (5, 32, 32, 3), np.uint8)
 
-    for wrap in (lambda v: v,
-                 lambda v: v.quantize(
-                     min_cin=8,
-                     calibration=jnp.asarray(
-                         frames[None], jnp.float32) / 127.5 - 1.0)):
-        base, mesh_vae = wrap(vae), wrap(vae).with_mesh(make_mesh(4))
+    def quantized(v):
+        return v.quantize(min_cin=8, calibration=jnp.asarray(
+            frames[None], jnp.float32) / 127.5 - 1.0)
+
+    for base in (vae, quantized(vae), tiled):
+        mesh_vae = base.with_mesh(make_mesh(4))
         ref_server = build_server(base, port=0)
         sh_server = build_server(mesh_vae, port=0)
         for srv in (ref_server, sh_server):
@@ -379,5 +388,6 @@ def test_sharded_server_matches_unsharded(served):
                     np.testing.assert_allclose(a, b, atol=2e-5,
                                                rtol=1e-4, err_msg=path)
         finally:
-            ref_server.shutdown()
-            sh_server.shutdown()
+            for srv in (ref_server, sh_server):
+                srv.shutdown()
+                srv.server_close()
