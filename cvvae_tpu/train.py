@@ -61,6 +61,30 @@ def build_engine(model_cfg: Dict):
     return engine, ckpt
 
 
+def apply_lr_scaling(cfg: Dict, n_devices: int) -> float:
+    """--scale_lr: base_lr *= n_devices * train batch size (the linear
+    scaling rule, reference main.py:868-878 — there ngpu * batch_size *
+    accumulate_grad_batches; grad accumulation has no analogue here, and
+    the reference's own shipped config leaves the dataloader batch_size
+    null so the rule is CLI-only there too).  The reference reads ONE
+    dataloader batch size; with per-dataset batching the rule is only
+    well-defined when the train datasets agree — otherwise set
+    model.engine.params.optim.params.base_lr explicitly."""
+    sizes = {ds.get("batch_size", 1)
+             for ds in cfg["data"]["train"]["datasets"].values()}
+    if len(sizes) != 1:
+        raise SystemExit(
+            f"--scale_lr needs a uniform train batch_size across "
+            f"datasets, got {sorted(sizes)}; set "
+            f"model.engine.params.optim.params.base_lr directly instead")
+    optim = cfg["model"]["engine"]["params"]["optim"]["params"]
+    base = float(optim["base_lr"])
+    optim["base_lr"] = n_devices * sizes.pop() * base
+    print(f"[train] --scale_lr: base_lr {base:.2e} -> "
+          f"{optim['base_lr']:.2e} ({n_devices} devices)")
+    return optim["base_lr"]
+
+
 def build_data(data_cfg: Dict, *, shard_id: int = 0,
                num_shards: int = 1) -> Iterator:
     from cvvae_tpu.data import pipeline as pl
@@ -114,10 +138,16 @@ def main(argv=None):
     p.add_argument("--name", default=None)
     p.add_argument("--resume", action="store_true")
     p.add_argument("--max_steps", type=int, default=None)
+    p.add_argument("--scale_lr", action="store_true",
+                   help="scale base_lr by n_devices * train batch size "
+                        "(the reference's linear LR scaling rule, "
+                        "main.py:868-878; off by default there too)")
     args, unknown = p.parse_known_args(argv)
 
     multihost_init()
     cfg = load_configs(args.base, [u for u in unknown if "=" in u])
+    if args.scale_lr:
+        apply_lr_scaling(cfg, jax.device_count())
 
     if args.logdir is None:
         now = datetime.datetime.now().strftime("%Y-%m-%dT%H-%M-%S")

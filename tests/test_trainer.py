@@ -260,3 +260,28 @@ def test_image_logger_logit_overlays(tmp_path):
     import cv2
     img = cv2.imread(path)
     assert img.shape == (6 * 16, 4 * 16, 3)  # 4 std rows + 2 overlay rows
+
+
+def test_scale_lr_rule():
+    """--scale_lr: base_lr *= n_devices * uniform train batch size
+    (reference main.py:868-878); heterogeneous batch sizes refuse."""
+    import pytest
+
+    from cvvae_tpu.train import apply_lr_scaling
+
+    def cfg(sizes):
+        return {
+            "model": {"engine": {"params": {"optim": {
+                "params": {"base_lr": 2.0e-5}}}}},
+            "data": {"train": {"datasets": {
+                f"d{i}": {"batch_size": b} for i, b in enumerate(sizes)
+            }}},
+        }
+
+    c = cfg([8, 8])
+    got = apply_lr_scaling(c, n_devices=4)
+    assert got == pytest.approx(4 * 8 * 2.0e-5)
+    assert (c["model"]["engine"]["params"]["optim"]["params"]["base_lr"]
+            == pytest.approx(6.4e-4))
+    with pytest.raises(SystemExit):
+        apply_lr_scaling(cfg([8, 1]), n_devices=4)
